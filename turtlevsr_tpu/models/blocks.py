@@ -1,0 +1,502 @@
+"""The Turtle block zoo, functional JAX, NHWC.
+
+Every block is a pair of functions: ``*_init(key, ...) -> params`` (PyTorch
+initialisation statistics, so training from scratch matches the reference
+recipe) and ``*_apply(params, x, ...) -> (y, new_cache_slot | None)``.
+Parameter trees mirror the reference's module names 1:1
+(e.g. ``attn.qkv_dwconv.weight``) so torch checkpoints convert mechanically.
+
+Reference: basicsr/models/archs/turtle_arch.py (t0) and turtle_t1_arch.py
+(t1/sr). The behavioural quirks documented in SURVEY.md §2.2 (Q1/Q2) are
+reproduced deliberately; each is flagged inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from turtlevsr_tpu.core.cache import (
+    fhr_slot_append,
+    frame_valid_mask,
+    sab_slot_append,
+    token_valid_mask,
+)
+from turtlevsr_tpu.ops.attn_utils import (
+    acc_dtype,
+    clipped_softmax,
+    l2_normalize,
+    local_window_mask,
+    masked_softmax,
+    posenc2d,
+    topk_keep,
+)
+from turtlevsr_tpu.ops.conv import conv_init
+from turtlevsr_tpu.ops.norm import layer_norm, layer_norm_init
+
+
+@dataclass(frozen=True)
+class BlockSpec:
+    """Static per-block attention configuration."""
+
+    attn_type: str  # Channel | ReducedAttn | FHR | CHM | NoAttn
+    ffw_type: str  # FFW | GFFW
+    dim: int
+    num_heads: int
+    ffn_expansion_factor: float
+    bias: bool
+    layernorm_bias: bool
+    num_frames_tocache: int
+    scale_patchsize: int = 1
+    variant: str = "t1"  # t0 | t1 (sr shares t1 block semantics)
+
+    @property
+    def window_size(self) -> int:
+        return 2 * self.scale_patchsize
+
+
+def _conv(params, x, *, stride=1, padding=0):
+    """conv with groups inferred from the kernel shape (depthwise-aware)."""
+    from turtlevsr_tpu.ops.conv import conv2d
+
+    w = params["weight"]
+    groups = x.shape[-1] // w.shape[2]
+    return conv2d(x, w, params.get("bias"), stride=stride, padding=padding,
+                  groups=groups)
+
+
+# ---------------------------------------------------------------------------
+# Feed-forward networks
+# ---------------------------------------------------------------------------
+
+
+def ffw_init(key, c: int, dtype=jnp.float32) -> dict:
+    """NAFNet-style FFN (turtle_arch.py:184-213). conv biases are True in the
+    reference regardless of the global `bias` option; gamma is zero-init."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "conv4": conv_init(k1, c, 2 * c, 1, bias=True, dtype=dtype),
+        "conv5": conv_init(k2, 2 * c, c, 1, bias=True, dtype=dtype),
+        "gamma": jnp.zeros((c,), dtype),
+    }
+
+
+def ffw_apply(params, x):
+    y = _conv(params["conv4"], x)
+    y = jax.nn.gelu(y, approximate=False)
+    y = _conv(params["conv5"], y)
+    return y * params["gamma"].astype(y.dtype)
+
+
+def gffw_init(key, dim: int, ffn_expansion_factor: float, bias: bool,
+              dtype=jnp.float32) -> dict:
+    """Restormer-style gated FFN (turtle_arch.py:162-181)."""
+    hidden = int(dim * ffn_expansion_factor)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "project_in": conv_init(k1, dim, hidden * 2, 1, bias=bias, dtype=dtype),
+        "dwconv": conv_init(k2, hidden * 2, hidden * 2, 3, groups=hidden * 2,
+                            bias=bias, dtype=dtype),
+        "project_out": conv_init(k3, hidden, dim, 1, bias=bias, dtype=dtype),
+    }
+
+
+def gffw_apply(params, x):
+    y = _conv(params["project_in"], x)
+    y = _conv(params["dwconv"], y, padding=1)
+    x1, x2 = jnp.split(y, 2, axis=-1)
+    y = jax.nn.gelu(x1, approximate=False) * x2
+    return _conv(params["project_out"], y)
+
+
+# ---------------------------------------------------------------------------
+# Cache-free attentions
+# ---------------------------------------------------------------------------
+
+
+def reduced_attn_init(key, c: int, dw_expand: float = 2.0,
+                      dtype=jnp.float32) -> dict:
+    """NAFNet-ish conv token mixer (turtle_arch.py:627-665); biases True,
+    beta zero-init."""
+    dw = int(c * dw_expand)
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": conv_init(k1, c, dw, 1, bias=True, dtype=dtype),
+        "conv2": conv_init(k2, dw, dw, 3, groups=dw, bias=True, dtype=dtype),
+        "conv3": conv_init(k3, dw, c, 1, bias=True, dtype=dtype),
+        "beta": jnp.zeros((c,), dtype),
+    }
+
+
+def reduced_attn_apply(params, x):
+    y = _conv(params["conv1"], x)
+    y = _conv(params["conv2"], y, padding=1)
+    y = jax.nn.gelu(y, approximate=False)
+    y = _conv(params["conv3"], y)
+    return y * params["beta"].astype(y.dtype), None
+
+
+def _channel_tokens(x, heads: int):
+    """NHWC (B,h,w,C) -> channel tokens (B, heads, C//heads, h*w).
+
+    Matches rearrange 'b (head c) h w -> b head c (h w)' (turtle_arch.py:263):
+    tokens are channels, the spatial extent is the feature axis.
+    """
+    b, h, w, c = x.shape
+    t = x.reshape(b, h * w, heads, c // heads)
+    return t.transpose(0, 2, 3, 1)
+
+
+def _channel_tokens_merge(t, h: int, w: int):
+    b, heads, ctok, l = t.shape
+    return t.transpose(0, 3, 1, 2).reshape(b, h, w, heads * ctok)
+
+
+def _qkv_proj_init(key, dim: int, bias: bool, heads: int, dtype) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "temperature": jnp.ones((heads, 1, 1), dtype),
+        "qkv": conv_init(k1, dim, dim * 3, 1, bias=bias, dtype=dtype),
+        "qkv_dwconv": conv_init(k2, dim * 3, dim * 3, 3, groups=dim * 3,
+                                bias=bias, dtype=dtype),
+        "project_out": conv_init(k3, dim, dim, 1, bias=bias, dtype=dtype),
+    }
+
+
+def channel_attention_init(key, dim: int, heads: int, bias: bool,
+                           dtype=jnp.float32) -> dict:
+    """Transposed (channel-token) attention, no cache (turtle_arch.py:589-625)."""
+    return _qkv_proj_init(key, dim, bias, heads, dtype)
+
+
+def fhr_init(key, dim: int, heads: int, bias: bool, dtype=jnp.float32) -> dict:
+    """FrameHistoryRouter (turtle_arch.py:220-288): same projection stack as
+    ChannelAttention plus the truncated channel-token KV cache."""
+    return _qkv_proj_init(key, dim, bias, heads, dtype)
+
+
+def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
+                hist_valid=None):
+    """Core of FHR/ChannelAttention: channel-token cross attention of the
+    current frame over [history ‖ current] keys/values.
+
+    The history tokens (if any) come first, exactly like the reference's
+    ``torch.cat([k_cached, k], dim=2)`` (turtle_arch.py:273-275); masked-out
+    history tokens are numerically absent from the softmax.
+
+    Returns (out_map, k_tokens, v_tokens) with k/v being the CURRENT frame's
+    normalised tokens (the caller manages caching).
+    """
+    b, h, w, c = x.shape
+    qkv = _conv(params["qkv"], x)
+    qkv = _conv(params["qkv_dwconv"], qkv, padding=1)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = l2_normalize(_channel_tokens(q, heads), axis=-1)
+    k = l2_normalize(_channel_tokens(k, heads), axis=-1)
+    v = _channel_tokens(v, heads)
+
+    if k_hist is not None:
+        k_all = jnp.concatenate([k_hist.astype(k.dtype), k], axis=2)
+        v_all = jnp.concatenate([v_hist.astype(v.dtype), v], axis=2)
+        if hist_valid is not None:
+            cur_valid = jnp.ones((k.shape[2],), bool)
+            valid = jnp.concatenate([hist_valid, cur_valid])[None, None, None, :]
+        else:
+            valid = None
+    else:
+        k_all, v_all, valid = k, v, None
+
+    ad = acc_dtype(x.dtype)
+    temp = params["temperature"].astype(ad)[None]  # (1, heads, 1, 1)
+    attn = jnp.einsum("bhcl,bhkl->bhck", q.astype(ad), k_all.astype(ad),
+                      preferred_element_type=ad) * temp
+    attn = masked_softmax(attn, valid)
+    out = jnp.einsum("bhck,bhkl->bhcl", attn.astype(v_all.dtype), v_all,
+                     preferred_element_type=ad).astype(x.dtype)
+    out = _channel_tokens_merge(out, h, w)
+    out = _conv(params["project_out"], out)
+    return out, k, v
+
+
+def channel_attention_apply(params, x, heads: int):
+    out, _, _ = _fhr_attend(params, x, heads)
+    return out, None
+
+
+def fhr_apply(params, x, heads: int, slot: Optional[dict]):
+    """Standalone FHR with its ring-buffer slot (latent blocks)."""
+    if slot is not None:
+        ctok = x.shape[-1] // heads
+        n_frames = slot["k"].shape[2] // ctok
+        hist_valid = token_valid_mask(slot["n"], n_frames, ctok)
+        out, k, v = _fhr_attend(params, x, heads, slot["k"], slot["v"],
+                                hist_valid)
+        new_slot = fhr_slot_append(slot, k, v)
+    else:
+        out, k, v = _fhr_attend(params, x, heads)
+        new_slot = None
+    return out, new_slot
+
+
+# ---------------------------------------------------------------------------
+# StateAlignBlock (SAB) — windowed cross-frame alignment attention
+# ---------------------------------------------------------------------------
+#
+# NOTE the reference's einops pattern '(p1 h)' puts the "window" factor p1
+# OUTERMOST: token (h, w) gathers the ws² pixels {(p1*H + h, p2*W + w)} — a
+# strided lattice over the whole image, not a contiguous window
+# (turtle_arch.py:487-492). Checkpoints bake this in; we reproduce it.
+
+
+def _lattice_split(x, ws: int):
+    """(B,h,w,c) -> (B, H*W, ws*ws*c) with H=h//ws, feature order (p1,p2,c)."""
+    b, h, w, c = x.shape
+    hh, ww = h // ws, w // ws
+    t = x.reshape(b, ws, hh, ws, ww, c).transpose(0, 2, 4, 1, 3, 5)
+    return t.reshape(b, hh * ww, ws * ws * c)
+
+
+def _lattice_merge(t, ws: int, h: int, w: int):
+    b, hw, d = t.shape
+    hh, ww = h // ws, w // ws
+    c = d // (ws * ws)
+    x = t.reshape(b, hh, ww, ws, ws, c).transpose(0, 3, 1, 4, 2, 5)
+    return x.reshape(b, h, w, c)
+
+
+def sab_init(key, dim: int, bias: bool, window_size: int,
+             dtype=jnp.float32) -> dict:
+    """StateAlignBlock params (turtle_t1_arch.py:290-310). num_heads is fixed
+    to 1 in the reference; temperature is a scalar (1,1,1)."""
+    ks = jax.random.split(key, 9)
+    return {
+        "temperature": jnp.ones((1, 1, 1), dtype),
+        "qk": conv_init(ks[0], dim, dim * 2, 1, bias=bias, dtype=dtype),
+        "qk_dwconv": conv_init(ks[1], dim * 2, dim * 2, 3, groups=dim * 2,
+                               bias=bias, dtype=dtype),
+        "v": conv_init(ks[2], dim, dim, 1, bias=bias, dtype=dtype),
+        "v_dwconv": conv_init(ks[3], dim, dim, 3, groups=dim, bias=bias,
+                              dtype=dtype),
+        # q2/k2 exist in both variants' state_dicts but are only USED by the
+        # t1 forward (turtle_t1_arch.py:559-560); t0 keeps them as dead
+        # parameters (its active forward never calls them).
+        "k2": conv_init(ks[4], dim, dim * 2, 1, bias=bias, dtype=dtype),
+        "k2_dwconv": conv_init(ks[5], dim * 2, dim * 2, window_size,
+                               groups=dim * 2, bias=bias, dtype=dtype),
+        "q2": conv_init(ks[6], dim, dim * 2, 1, bias=bias, dtype=dtype),
+        "q2_dwconv": conv_init(ks[7], dim * 2, dim * 2, window_size,
+                               groups=dim * 2, bias=bias, dtype=dtype),
+        "project_out": conv_init(ks[8], dim, dim, 1, bias=bias, dtype=dtype),
+    }
+
+
+def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int):
+    """Un-lattice each aligned frame, project, zero invalid frames."""
+    b, nf, hw, d = out_tok.shape
+    maps = _lattice_merge(out_tok.reshape(b * nf, hw, d), ws, h, w)
+    maps = _conv(params["project_out"], maps)
+    c = maps.shape[-1]
+    maps = maps.reshape(b, nf, h, w, c)
+    return maps * fvalid.astype(maps.dtype)[None, :, None, None, None]
+
+
+def sab_t1_apply(params, x, ws: int, slot: Optional[dict]):
+    """t1 semantics (the LAST forward def wins — turtle_t1_arch.py:548-610):
+    q,k re-projected through stride-ws depthwise convs into per-window tokens
+    of dim 2c; v is lattice-windowed raw; sparsity = top-5 + L1<=4 local mask
+    combined as attn1 + attn2 then clipped_softmax; attention output USED.
+
+    Returns (aligned frames (B, NF, h, w, c), frame_valid (NF,), new_slot).
+    """
+    b, h, w, c = x.shape
+    qk = _conv(params["qk_dwconv"], _conv(params["qk"], x), padding=1)
+    q_, k_ = jnp.split(qk, 2, axis=-1)
+    v_map = _conv(params["v_dwconv"], _conv(params["v"], x), padding=1)
+
+    # window-strided depthwise projections: kernel=stride=ws, padding=1
+    # (turtle_t1_arch.py:306-308)
+    k2 = _conv(params["k2_dwconv"], _conv(params["k2"], k_), stride=ws,
+               padding=1)
+    q2 = _conv(params["q2_dwconv"], _conv(params["q2"], q_), stride=ws,
+               padding=1)
+    hq, wq = q2.shape[1], q2.shape[2]
+    assert hq == h // ws and wq == w // ws, (
+        f"SAB window grid mismatch: conv gives {hq}x{wq}, lattice needs "
+        f"{h // ws}x{w // ws} (h={h}, w={w}, ws={ws})")
+
+    q = l2_normalize(q2.reshape(b, hq * wq, 2 * c), axis=-1)
+    k = l2_normalize(k2.reshape(b, hq * wq, 2 * c), axis=-1)
+    v = _lattice_split(v_map, ws)  # (B, HW, ws*ws*c)
+
+    if slot is not None:
+        n_frames = slot["k"].shape[1]
+        k_all = jnp.concatenate([slot["k"].astype(k.dtype), k[:, None]], axis=1)
+        v_all = jnp.concatenate([slot["v"].astype(v.dtype), v[:, None]], axis=1)
+        fvalid = jnp.concatenate(
+            [frame_valid_mask(slot["n"], n_frames), jnp.ones((1,), bool)])
+        new_slot = sab_slot_append(slot, k, v)
+    else:
+        k_all, v_all = k[:, None], v[:, None]
+        fvalid = jnp.ones((1,), bool)
+        new_slot = None
+
+    ad = acc_dtype(x.dtype)
+    temp = params["temperature"].astype(ad).reshape(())
+    attn = jnp.einsum("bqd,bnkd->bnqk", q.astype(ad), k_all.astype(ad),
+                      preferred_element_type=ad) * temp
+    attn1 = topk_keep(attn, 5)
+    attn2 = attn * local_window_mask(hq, wq, 4, attn.dtype)[None, None]
+    a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
+    out_tok = jnp.einsum("bnqk,bnkd->bnqd", a.astype(v_all.dtype), v_all,
+                         preferred_element_type=ad).astype(x.dtype)
+    return _sab_finish(params, out_tok, fvalid, ws, h, w), fvalid, new_slot
+
+
+def sab_t0_apply(params, x, ws: int, slot: Optional[dict]):
+    """t0 semantics (turtle_arch.py:459-533). The attention scores are
+    computed and then DISCARDED by ``out = v`` (:523, SURVEY.md quirk Q1), so
+    the aligned output is just the lattice-windowed V of [history ‖ current]
+    and the whole q/top-k/softmax chain is dead code — we skip it. Only the
+    windowed K/V caches are produced (K feeds the next frame's equally-dead
+    attention, kept for cache-shape parity)."""
+    b, h, w, c = x.shape
+    pos = posenc2d(c, h, w, x.dtype)[None]
+    qk = _conv(params["qk_dwconv"], _conv(params["qk"], x + pos), padding=1)
+    _, k_ = jnp.split(qk, 2, axis=-1)
+    v_map = _conv(params["v_dwconv"], _conv(params["v"], x), padding=1)
+
+    k = l2_normalize(_lattice_split(k_, ws), axis=-1)
+    v = _lattice_split(v_map, ws)
+
+    if slot is not None:
+        n_frames = slot["k"].shape[1]
+        v_all = jnp.concatenate([slot["v"].astype(v.dtype), v[:, None]], axis=1)
+        fvalid = jnp.concatenate(
+            [frame_valid_mask(slot["n"], n_frames), jnp.ones((1,), bool)])
+        new_slot = sab_slot_append(slot, k, v)
+    else:
+        v_all = v[:, None]
+        fvalid = jnp.ones((1,), bool)
+        new_slot = None
+
+    return _sab_finish(params, v_all, fvalid, ws, h, w), fvalid, new_slot
+
+
+# ---------------------------------------------------------------------------
+# CausalHistoryModel (CHM) = SAB alignment + FHR routing
+# ---------------------------------------------------------------------------
+
+
+def chm_init(key, dim: int, heads: int, bias: bool, window_size: int,
+             dtype=jnp.float32) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "spatial_aligner": sab_init(k1, dim, bias, window_size, dtype=dtype),
+        "ChanAttn": fhr_init(k2, dim, heads, bias, dtype=dtype),
+        "kv": conv_init(k3, dim, dim * 2, 1, bias=bias, dtype=dtype),
+        "kv_dwconv": conv_init(k4, dim * 2, dim * 2, 3, groups=dim * 2,
+                               bias=bias, dtype=dtype),
+    }
+
+
+def chm_apply(params, x, heads: int, ws: int, variant: str,
+              slot: Optional[dict]):
+    """turtle_arch.py:535-585: aligned = SAB(x, cache); K,V embeddings of all
+    aligned frames (frame-major channel tokens); FHR cross-attends the
+    current frame over them. The returned cache is SAB's."""
+    b, h, w, c = x.shape
+    sab = sab_t0_apply if variant == "t0" else sab_t1_apply
+    x_sp, fvalid, new_slot = sab(params["spatial_aligner"], x, ws, slot)
+    nf = x_sp.shape[1]
+
+    xs = x_sp.reshape(b * nf, h, w, c)
+    kv = _conv(params["kv_dwconv"], _conv(params["kv"], xs), padding=1)
+    k_, v_ = jnp.split(kv, 2, axis=-1)
+
+    ctok = c // heads
+
+    def hist_tokens(m):
+        # '(b nf) (head c) h w -> b head (nf c) (h w)' — frame-major token
+        # blocks (turtle_arch.py:575-578)
+        t = m.reshape(b, nf, h * w, heads, ctok)
+        return t.transpose(0, 3, 1, 4, 2).reshape(b, heads, nf * ctok, h * w)
+
+    k_hist = l2_normalize(hist_tokens(k_), axis=-1)
+    v_hist = hist_tokens(v_)
+    hist_valid = jnp.repeat(fvalid, ctok)
+
+    out, _, _ = _fhr_attend(params["ChanAttn"], x, heads, k_hist, v_hist,
+                            hist_valid)
+    return out, new_slot
+
+
+# ---------------------------------------------------------------------------
+# Transformer block / level assemblies
+# ---------------------------------------------------------------------------
+
+
+def attn_block_init(key, spec: BlockSpec, dtype=jnp.float32) -> dict:
+    """TurtleAttnBlock (turtle_arch.py:669-734)."""
+    k_attn, k_ffn, k_n1, k_n2 = jax.random.split(key, 4)
+    params = {
+        "norm1": {"body": layer_norm_init(spec.dim, spec.layernorm_bias, dtype)},
+        "norm2": {"body": layer_norm_init(spec.dim, spec.layernorm_bias, dtype)},
+    }
+    t = spec.attn_type
+    if t == "Channel":
+        params["attn"] = channel_attention_init(k_attn, spec.dim,
+                                                spec.num_heads, spec.bias,
+                                                dtype)
+    elif t == "ReducedAttn":
+        params["attn"] = reduced_attn_init(k_attn, spec.dim, dtype=dtype)
+    elif t == "FHR":
+        params["attn"] = fhr_init(k_attn, spec.dim, spec.num_heads, spec.bias,
+                                  dtype)
+    elif t == "CHM":
+        params["attn"] = chm_init(k_attn, spec.dim, spec.num_heads, spec.bias,
+                                  spec.window_size, dtype)
+    elif t == "NoAttn":
+        pass
+    else:
+        raise ValueError(f"unknown attention type {t!r}")
+
+    if spec.ffw_type == "GFFW":
+        params["ffn"] = gffw_init(k_ffn, spec.dim, spec.ffn_expansion_factor,
+                                  spec.bias, dtype)
+    elif spec.ffw_type == "FFW":
+        params["ffn"] = ffw_init(k_ffn, spec.dim, dtype)
+    else:
+        raise ValueError(f"unknown FFW type {spec.ffw_type!r}")
+    return params
+
+
+def _ln(params, x):
+    return layer_norm(x, params["body"]["weight"], params["body"].get("bias"))
+
+
+def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
+    t = spec.attn_type
+    if t == "NoAttn":
+        ffn = gffw_apply if spec.ffw_type == "GFFW" else ffw_apply
+        return x + ffn(params["ffn"], _ln(params["norm2"], x)), None
+
+    xn = _ln(params["norm1"], x)
+    if t == "Channel":
+        a, new_slot = channel_attention_apply(params["attn"], xn,
+                                              spec.num_heads)
+    elif t == "ReducedAttn":
+        a, new_slot = reduced_attn_apply(params["attn"], xn)
+    elif t == "FHR":
+        a, new_slot = fhr_apply(params["attn"], xn, spec.num_heads, slot)
+    elif t == "CHM":
+        a, new_slot = chm_apply(params["attn"], xn, spec.num_heads,
+                                spec.window_size, spec.variant, slot)
+    else:
+        raise ValueError(t)
+    x = x + a
+    ffn = gffw_apply if spec.ffw_type == "GFFW" else ffw_apply
+    x = x + ffn(params["ffn"], _ln(params["norm2"], x))
+    return x, new_slot

@@ -1,0 +1,116 @@
+"""Attention primitives shared by the Turtle block zoo.
+
+Softmax/normalisation run in at least float32 (float64 inputs stay float64
+so golden-value parity tests against the fp64 torch reference are exact) and
+are written NaN-free so gradients stay clean when ring-buffer cache slots are
+still empty (the reference grows its KV caches dynamically from ``None``; we
+keep fixed shapes with validity masks — see core/cache.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_NORM_EPS = 1e-12  # torch.nn.functional.normalize default
+
+
+def acc_dtype(dtype):
+    """Accumulation dtype: at least float32, float64 preserved."""
+    return jnp.promote_types(dtype, jnp.float32)
+
+
+def l2_normalize(x, axis: int = -1):
+    """torch F.normalize(p=2): x / max(||x||, 1e-12)."""
+    ad = acc_dtype(x.dtype)
+    xf = x.astype(ad)
+    n = jnp.sqrt(jnp.sum(jnp.square(xf), axis=axis, keepdims=True))
+    return (xf / jnp.maximum(n, _NORM_EPS)).astype(x.dtype)
+
+
+def masked_softmax(scores, valid=None, axis: int = -1):
+    """Softmax in (at least) fp32 with an optional boolean key-validity mask.
+
+    Invalid positions get zero probability; rows with no valid position
+    return all-zeros instead of NaN.
+    """
+    dtype = scores.dtype
+    ad = acc_dtype(dtype)
+    s = scores.astype(ad)
+    if valid is not None:
+        s = jnp.where(valid, s, -jnp.inf)
+    m = jnp.max(s, axis=axis, keepdims=True)
+    m = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=axis, keepdims=True)
+    out = e / jnp.maximum(denom, jnp.finfo(ad).tiny)
+    return out.astype(dtype)
+
+
+def clipped_softmax(combined, axis: int = -1):
+    """Softmax that ignores exactly-zero entries (turtle_arch.py:115-135).
+
+    The reference builds a sparse score tensor (top-k scores + local-window
+    scores; everything else exactly 0), masks zeros to -inf, softmaxes, and
+    renormalises. Renormalisation is a numerical no-op for rows with any
+    surviving entry, and all-zero rows (empty cache slots) here produce 0
+    rather than the reference's NaN — those rows are masked out downstream
+    either way.
+    """
+    zero_mask = combined == 0
+    return masked_softmax(combined, valid=~zero_mask, axis=axis)
+
+
+def topk_keep(scores, k: int):
+    """Zero out everything but the top-k entries of the last axis
+    (turtle_t1_arch.py:327-332 zero_out_non_top_k)."""
+    k = min(k, scores.shape[-1])
+    _, idx = jax.lax.top_k(scores, k)
+    mask = jnp.zeros_like(scores)
+    mask = jnp.put_along_axis(mask, idx, jnp.ones_like(idx, scores.dtype),
+                              axis=-1, inplace=False)
+    return scores * mask
+
+
+@functools.lru_cache(maxsize=64)
+def _local_window_mask_np(h: int, w: int, n: int) -> np.ndarray:
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    coords = np.stack([ys, xs], axis=-1).reshape(-1, 2).astype(np.float64)
+    dist = np.abs(coords[:, None, :] - coords[None, :, :]).sum(-1)
+    return (dist <= n).astype(np.float32)
+
+
+def local_window_mask(h: int, w: int, n: int = 4, dtype=jnp.float32):
+    """(h*w, h*w) 0/1 mask, L1 distance <= n between token grid coords
+    (turtle_arch.py:441-457 create_local_attention_mask)."""
+    return jnp.asarray(_local_window_mask_np(h, w, n), dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _posenc2d_np(d_model: int, height: int, width: int) -> np.ndarray:
+    """2D sincos positional encoding, bit-matching turtle_arch.py:412-439."""
+    if d_model % 4 != 0:
+        raise ValueError(f"posenc2d needs d_model % 4 == 0, got {d_model}")
+    pe = np.zeros((d_model, height, width), dtype=np.float64)
+    half = d_model // 2
+    div_term = np.exp(np.arange(0.0, half, 2) * -(math.log(10000.0) / half))
+    pos_w = np.arange(0.0, width)[:, None]
+    pos_h = np.arange(0.0, height)[:, None]
+    sin_w = np.sin(pos_w * div_term).T[:, None, :]  # (half/2, 1, width)
+    cos_w = np.cos(pos_w * div_term).T[:, None, :]
+    sin_h = np.sin(pos_h * div_term).T[:, :, None]  # (half/2, height, 1)
+    cos_h = np.cos(pos_h * div_term).T[:, :, None]
+    pe[0:half:2] = np.repeat(sin_w, height, axis=1)
+    pe[1:half:2] = np.repeat(cos_w, height, axis=1)
+    pe[half::2] = np.repeat(sin_h, width, axis=2)
+    pe[half + 1::2] = np.repeat(cos_h, width, axis=2)
+    return pe.transpose(1, 2, 0)  # -> (height, width, d_model), NHWC
+
+
+def posenc2d(d_model: int, height: int, width: int, dtype=jnp.float32):
+    """(height, width, d_model) positional encoding (NHWC layout)."""
+    return jnp.asarray(_posenc2d_np(d_model, height, width), dtype)

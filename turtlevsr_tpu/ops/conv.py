@@ -1,0 +1,61 @@
+"""NHWC convolutions with PyTorch-compatible initialisation.
+
+TPU convs want NHWC activations and HWIO kernels; the whole framework keeps
+channels-last end to end (the reference is NCHW). Parameters are plain nested
+dicts so a torch state_dict maps onto them 1:1 (see io/torch_convert.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def conv2d(x, weight, bias=None, *, stride: int = 1, padding: int = 0,
+           groups: int = 1):
+    """2-D convolution, NHWC activations, HWIO weights.
+
+    Matches torch.nn.Conv2d(stride=stride, padding=padding, groups=groups)
+    numerics. `weight` has shape (kh, kw, cin // groups, cout).
+    """
+    dn = lax.conv_dimension_numbers(x.shape, weight.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(
+        x,
+        weight.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=[(padding, padding), (padding, padding)],
+        dimension_numbers=dn,
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv_apply(params: dict, x, *, stride: int = 1, padding: int = 0,
+               groups: int = 1):
+    return conv2d(x, params["weight"], params.get("bias"),
+                  stride=stride, padding=padding, groups=groups)
+
+
+def conv_init(key, cin: int, cout: int, kernel_size: int, *, groups: int = 1,
+              bias: bool = False, dtype=jnp.float32) -> dict:
+    """Initialise like torch.nn.Conv2d.reset_parameters: kaiming_uniform with
+    a=sqrt(5), i.e. U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both weight and
+    bias, fan_in = (cin // groups) * kh * kw."""
+    kh = kw = kernel_size
+    fan_in = (cin // groups) * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    wkey, bkey = jax.random.split(key)
+    params = {
+        "weight": jax.random.uniform(
+            wkey, (kh, kw, cin // groups, cout), dtype, -bound, bound)
+    }
+    if bias:
+        params["bias"] = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
+    return params
