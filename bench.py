@@ -1,0 +1,74 @@
+"""Headline benchmark: GoPro 1280x720 deblurring throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json): >= 30 frames/s on one v5e chip.
+
+The reference evaluates 720p through 320px tiles with per-tile KV caches
+round-tripped to CPU (inference.py:172-246) because of GPU memory; on a
+16 GB v5e the whole frame fits in bf16, so the benchmark streams whole
+frames through one jitted step with the cache resident on device — the same
+protocol as the reference's FPS harness (turtle_arch.py:1066-1103: warmup
+then steady-state timing) at the BASELINE.json resolution.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from turtlevsr_tpu.config.options import load_options, model_config_from_options
+    from turtlevsr_tpu.models.turtle import forward, init_cache, init_params
+
+    opt = load_options(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "options", "Turtle_Deblur_Gopro.yml"), is_train=False)
+    cfg = model_config_from_options(opt)
+
+    dtype = jnp.bfloat16
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(lambda p: p.astype(dtype), params)
+
+    b, h, w = 1, 720, 1280
+    cache = init_cache(cfg, b, h, w, dtype=dtype)
+
+    step = jax.jit(lambda p, x, c: forward(p, cfg, x, c))
+
+    rng = np.random.RandomState(0)
+    frames = [jnp.asarray(rng.rand(b, 2, h, w, 3), dtype) for _ in range(4)]
+
+    # warmup: compile + populate cache. NOTE: through the axon tunnel
+    # block_until_ready can return before remote execution finishes, so all
+    # timing uses an explicit device->host fetch as the sync point.
+    out, cache_w = None, cache
+    for i in range(3):
+        out, cache_w = step(params, frames[i % len(frames)], cache_w)
+    np.asarray(out[0, 0, 0, :])
+
+    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
+    t0 = time.perf_counter()
+    c = cache_w
+    for i in range(n_iters):
+        out, c = step(params, frames[i % len(frames)], c)
+    np.asarray(out[0, 0, 0, :])  # full-pipeline sync
+    dt = time.perf_counter() - t0
+
+    fps = n_iters / dt
+    baseline = 30.0
+    print(json.dumps({
+        "metric": "gopro_720p_deblur_fps_1chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -211,7 +211,9 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
 
     ad = acc_dtype(x.dtype)
     temp = params["temperature"].astype(ad)[None]  # (1, heads, 1, 1)
-    attn = jnp.einsum("bhcl,bhkl->bhck", q.astype(ad), k_all.astype(ad),
+    # bf16 operands, fp32 MXU accumulation — no upcast copies of the big
+    # (ctok, h*w) token tensors
+    attn = jnp.einsum("bhcl,bhkl->bhck", q, k_all,
                       preferred_element_type=ad) * temp
     attn = masked_softmax(attn, valid)
     out = jnp.einsum("bhck,bhkl->bhcl", attn.astype(v_all.dtype), v_all,
@@ -345,7 +347,7 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict]):
 
     ad = acc_dtype(x.dtype)
     temp = params["temperature"].astype(ad).reshape(())
-    attn = jnp.einsum("bqd,bnkd->bnqk", q.astype(ad), k_all.astype(ad),
+    attn = jnp.einsum("bqd,bnkd->bnqk", q, k_all,
                       preferred_element_type=ad) * temp
     attn1 = topk_keep(attn, 5)
     attn2 = attn * local_window_mask(hq, wq, 4, attn.dtype)[None, None]

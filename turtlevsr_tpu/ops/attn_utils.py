@@ -25,11 +25,21 @@ def acc_dtype(dtype):
 
 
 def l2_normalize(x, axis: int = -1):
-    """torch F.normalize(p=2): x / max(||x||, 1e-12)."""
+    """torch F.normalize(p=2): x / max(||x||, 1e-12).
+
+    The sqrt argument is made safe for all-zero rows (empty ring-buffer
+    cache frames) so gradients stay finite: sqrt'(0) = inf would otherwise
+    poison the backward pass with 0 * inf = NaN. Forward values are
+    unchanged (zero rows normalise to zero either way)."""
     ad = acc_dtype(x.dtype)
-    xf = x.astype(ad)
-    n = jnp.sqrt(jnp.sum(jnp.square(xf), axis=axis, keepdims=True))
-    return (xf / jnp.maximum(n, _NORM_EPS)).astype(x.dtype)
+    # reduce in >=fp32 but scale in the input dtype: never materialise an
+    # upcast copy of the (possibly huge) token tensor
+    ss = jnp.sum(jnp.square(x.astype(ad)), axis=axis, keepdims=True)
+    nonzero = ss > 0
+    n = jnp.sqrt(jnp.where(nonzero, ss, 1.0))
+    n = jnp.where(nonzero, n, 0.0)
+    inv = (1.0 / jnp.maximum(n, _NORM_EPS)).astype(x.dtype)
+    return x * inv
 
 
 def masked_softmax(scores, valid=None, axis: int = -1):

@@ -1,0 +1,1 @@
+from turtlevsr_tpu.parallel.mesh import make_mesh, shard_batch, replicate  # noqa: F401
