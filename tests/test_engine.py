@@ -1,0 +1,97 @@
+"""Inference-engine parity: our batched tiled engine vs the reference's
+sequential per-tile protocol (inference.py:172-246) run on the torch oracle
+model, in float64."""
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from turtlevsr_tpu.config.options import model_config_from_options
+from turtlevsr_tpu.eval.engine import InferenceEngine
+from turtlevsr_tpu.io.torch_convert import params_from_torch_state_dict
+
+from reference_oracle import build_reference_model, tiny_opt
+from test_model_parity import _KeepF64
+
+
+def _reference_tiled(model, frames, tile, tile_overlap):
+    """Faithful re-run of run_inference_patched/run_inference for a t0/t1
+    model (inference.py:172-246, :276-311), fp64, as the golden oracle."""
+    outs = []
+    k_cache = v_cache = None
+    prev = None
+    with torch.no_grad(), _KeepF64():
+        for fr in frames:
+            cur = torch.from_numpy(fr).permute(2, 0, 1)[None]  # (1,C,H,W)
+            if prev is None:
+                prev = cur
+            height, width = cur.shape[2], cur.shape[3]
+            m = 8
+            hp = ((height + m) // m) * m
+            wp = ((width + m) // m) * m
+            padh = hp - height if height % m else 0
+            padw = wp - width if width % m else 0
+            cur_p = torch.nn.functional.pad(cur, (0, padw, 0, padh), "reflect")
+            prev_p = torch.nn.functional.pad(prev, (0, padw, 0, padh),
+                                             "reflect")
+            b, c, h, w = cur_p.shape
+            t = min(tile, h, w)
+            stride = t - tile_overlap
+            h_idx = list(range(0, h - t, stride)) + [h - t]
+            w_idx = list(range(0, w - t, stride)) + [w - t]
+            e = torch.zeros(b, c, h, w, dtype=cur_p.dtype)
+            wt = torch.zeros_like(e)
+            new_k, new_v = {}, {}
+            for hi in h_idx:
+                for wi in w_idx:
+                    pc = cur_p[..., hi:hi + t, wi:wi + t]
+                    pp = prev_p[..., hi:hi + t, wi:wi + t]
+                    x = torch.concat([pp.unsqueeze(0), pc.unsqueeze(0)], dim=1)
+                    kc = k_cache[f"{hi}-{wi}"] if k_cache else None
+                    vc = v_cache[f"{hi}-{wi}"] if v_cache else None
+                    out, kn, vn = model(x, kc, vc)
+                    new_k[f"{hi}-{wi}"] = kn
+                    new_v[f"{hi}-{wi}"] = vn
+                    e[..., hi:hi + t, wi:wi + t] += out
+                    wt[..., hi:hi + t, wi:wi + t] += 1
+            k_cache, v_cache = new_k, new_v
+            restored = torch.clamp(e / wt, 0, 1)
+            outs.append(restored[0, :, :height, :width].numpy()
+                        .transpose(1, 2, 0))
+            prev = cur
+    return outs
+
+
+def test_tiled_engine_matches_reference_protocol():
+    opt = tiny_opt("Turtle_t1_arch")
+    ref = build_reference_model(opt)
+    cfg = model_config_from_options(opt)
+    params = params_from_torch_state_dict(ref.state_dict(), dtype=jnp.float64)
+
+    rng = np.random.RandomState(3)
+    frames = [rng.rand(72, 88, 3) for _ in range(3)]
+
+    want = _reference_tiled(ref, frames, tile=48, tile_overlap=16)
+
+    eng = InferenceEngine(cfg, params, mode="tiled", tile=48, tile_overlap=16,
+                          dtype=jnp.float64)
+    for t, fr in enumerate(frames):
+        got = eng.step(fr.astype(np.float32))
+        np.testing.assert_allclose(got, want[t], atol=1e-6,
+                                   err_msg=f"frame {t}")
+
+
+def test_whole_engine_runs_and_is_stateful():
+    opt = tiny_opt("Turtle_t1_arch")
+    ref = build_reference_model(opt, dtype="float32")
+    cfg = model_config_from_options(opt)
+    params = params_from_torch_state_dict(ref.state_dict(), dtype=jnp.float32)
+    eng = InferenceEngine(cfg, params, mode="whole", dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    fr = rng.rand(40, 56, 3).astype(np.float32)
+    o1 = eng.step(fr)
+    o2 = eng.step(fr)  # same input, but history differs now
+    assert o1.shape == fr.shape
+    assert np.isfinite(o1).all() and np.isfinite(o2).all()
+    assert np.abs(o1 - o2).max() > 0  # the cache changed the output

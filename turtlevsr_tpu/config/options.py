@@ -151,6 +151,9 @@ class ModelConfig:
     padder_size: int = 32
     # sr variant: bilinear x4 upsample factor (turtlesuper_t1_arch.py:975-977)
     sr_scale: int = 4
+    # compute backend for the hot blocks: "xla" (pure jnp) or "pallas"
+    # (fused TPU kernels, numerically equivalent — see kernels/)
+    kernels: str = "xla"
 
     @property
     def level_dims(self) -> Tuple[int, int, int, int]:
@@ -244,6 +247,7 @@ def model_config_from_options(opt: dict) -> ModelConfig:
         layernorm_bias=ln_bias,
         use_both_input=bool(opt.get("use_both_input", False)),
         num_frames_tocache=nftc,
+        kernels=str(opt.get("kernels", "xla")),
         enc1=enc1, enc2=enc2, enc3=enc3, latent=latent,
         dec3=dec3, dec2=dec2, dec1=dec1, refinement=refinement,
     )

@@ -52,6 +52,7 @@ class BlockSpec:
     num_frames_tocache: int
     scale_patchsize: int = 1
     variant: str = "t1"  # t0 | t1 (sr shares t1 block semantics)
+    kernels: str = "xla"  # "xla" | "pallas"
 
     @property
     def window_size(self) -> int:
@@ -479,26 +480,82 @@ def _ln(params, x):
     return layer_norm(x, params["body"]["weight"], params["body"].get("bias"))
 
 
+def _pallas_interpret() -> bool:
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+def _fused_ffn_half(params, x, spec: BlockSpec):
+    """x + FFN(norm2(x)) as one fused Pallas pass (kernels/ffn.py)."""
+    from turtlevsr_tpu.kernels.ffn import fused_block_ffn
+
+    ln = params["norm2"]["body"]
+    p = params["ffn"]
+    c = spec.dim
+    if spec.ffw_type == "GFFW":
+        hid = p["project_in"]["weight"].shape[-1]
+        return fused_block_ffn(
+            x, ln_w=ln["weight"], ln_b=ln.get("bias"),
+            w1=p["project_in"]["weight"].reshape(c, hid),
+            b1=p["project_in"].get("bias"),
+            wd=p["dwconv"]["weight"].reshape(3, 3, hid),
+            bd=p["dwconv"].get("bias"),
+            w2=p["project_out"]["weight"].reshape(hid // 2, c),
+            b2=p["project_out"].get("bias"),
+            mode="gate", interpret=_pallas_interpret())
+    return fused_block_ffn(
+        x, ln_w=ln["weight"], ln_b=ln.get("bias"),
+        w1=p["conv4"]["weight"].reshape(c, 2 * c), b1=p["conv4"]["bias"],
+        w2=p["conv5"]["weight"].reshape(2 * c, c), b2=p["conv5"]["bias"],
+        scale=p["gamma"], mode="gelu", interpret=_pallas_interpret())
+
+
+def _fused_reduced_attn_half(params, x, spec: BlockSpec):
+    """x + ReducedAttn(norm1(x)) as one fused Pallas pass."""
+    from turtlevsr_tpu.kernels.ffn import fused_block_ffn
+
+    ln = params["norm1"]["body"]
+    p = params["attn"]
+    c = spec.dim
+    dw = p["conv1"]["weight"].shape[-1]
+    return fused_block_ffn(
+        x, ln_w=ln["weight"], ln_b=ln.get("bias"),
+        w1=p["conv1"]["weight"].reshape(c, dw), b1=p["conv1"]["bias"],
+        wd=p["conv2"]["weight"].reshape(3, 3, dw), bd=p["conv2"]["bias"],
+        w2=p["conv3"]["weight"].reshape(dw, c), b2=p["conv3"]["bias"],
+        scale=p["beta"], mode="gelu", interpret=_pallas_interpret())
+
+
 def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
     t = spec.attn_type
+    fused = spec.kernels == "pallas"
     if t == "NoAttn":
+        if fused:
+            return _fused_ffn_half(params, x, spec), None
         ffn = gffw_apply if spec.ffw_type == "GFFW" else ffw_apply
         return x + ffn(params["ffn"], _ln(params["norm2"], x)), None
 
-    xn = _ln(params["norm1"], x)
-    if t == "Channel":
-        a, new_slot = channel_attention_apply(params["attn"], xn,
-                                              spec.num_heads)
-    elif t == "ReducedAttn":
-        a, new_slot = reduced_attn_apply(params["attn"], xn)
-    elif t == "FHR":
-        a, new_slot = fhr_apply(params["attn"], xn, spec.num_heads, slot)
-    elif t == "CHM":
-        a, new_slot = chm_apply(params["attn"], xn, spec.num_heads,
-                                spec.window_size, spec.variant, slot)
+    if t == "ReducedAttn" and fused:
+        x = _fused_reduced_attn_half(params, x, spec)
+        new_slot = None
     else:
-        raise ValueError(t)
-    x = x + a
+        xn = _ln(params["norm1"], x)
+        if t == "Channel":
+            a, new_slot = channel_attention_apply(params["attn"], xn,
+                                                  spec.num_heads)
+        elif t == "ReducedAttn":
+            a, new_slot = reduced_attn_apply(params["attn"], xn)
+        elif t == "FHR":
+            a, new_slot = fhr_apply(params["attn"], xn, spec.num_heads, slot)
+        elif t == "CHM":
+            a, new_slot = chm_apply(params["attn"], xn, spec.num_heads,
+                                    spec.window_size, spec.variant, slot)
+        else:
+            raise ValueError(t)
+        x = x + a
+    if fused:
+        return _fused_ffn_half(params, x, spec), new_slot
     ffn = gffw_apply if spec.ffw_type == "GFFW" else ffw_apply
     x = x + ffn(params["ffn"], _ln(params["norm2"], x))
     return x, new_slot

@@ -73,6 +73,7 @@ def _block_spec(cfg: ModelConfig, lvl: LevelSpec, attn_type: str) -> BlockSpec:
         num_frames_tocache=lvl.num_frames_tocache,
         scale_patchsize=lvl.scale_patchsize,
         variant="t0" if cfg.variant == "t0" else "t1",
+        kernels=cfg.kernels,
     )
 
 
