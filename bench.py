@@ -27,10 +27,14 @@ def main():
     from turtlevsr_tpu.config.options import load_options, model_config_from_options
     from turtlevsr_tpu.models.turtle import forward, init_cache, init_params
 
+    import dataclasses
+
     opt = load_options(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "options", "Turtle_Deblur_Gopro.yml"), is_train=False)
     cfg = model_config_from_options(opt)
+    cfg = dataclasses.replace(
+        cfg, kernels=os.environ.get("TURTLE_KERNELS", "pallas"))
 
     dtype = jnp.bfloat16
     params = init_params(jax.random.PRNGKey(0), cfg)

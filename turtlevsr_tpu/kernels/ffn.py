@@ -11,20 +11,25 @@ dwconv, gamma scale) and ReducedAttn (gelu, beta scale) chains
 materialises the (H, W, hidden) maps in HBM between ops (~5 GB of traffic
 per full-res 720p block); fused, traffic drops to ~3 reads of x + 1 write.
 
-Mosaic constraints shape the design (discovered empirically on v5e):
-  * rank-3 dot_general and sublane-merging reshapes hang/fail the compiler
-    -> everything is strictly 2D: the image is flattened to (H*W, C) rows
-       and the grid walks strips of S image rows;
-  * dw3x3 halo -> strips are DMA'd with one extra image row above/below
-    (flattened: +W rows each side), taps become rolls by {±W±1, ±W, ±1};
-  * pltpu.roll only rotates 32-bit data -> bf16 hidden is bitcast to int32
-    (channel pairs) for the roll, lanes are untouched by a sublane roll;
-  * DMA slices must be 8-aligned on the sublane dim -> W % 8 == 0 required
-    (callers fall back to the XLA path otherwise);
+Mosaic constraints shape the design (all discovered empirically on v5e —
+several of these HANG the compiler rather than erroring):
+  * rank-3 dot_general, sublane-merging reshapes, lane-dim slices at
+    non-128 offsets, and bf16<->int32 bitcasts hang or fail -> everything is
+    strictly 2D, and the gate halves' weights are pre-split host-side;
+  * manual HBM DMA requires 128-aligned lane dims (C=64 levels fail) -> no
+    manual DMA: the image is flattened to (H*W, C) rows and each program
+    reads THREE blocked inputs of one image row — above/main/below — via
+    clamped index maps (Mosaic double-buffers blocked inputs natively);
+  * pltpu.roll only rotates 32-bit data -> the dw taps run on an fp32
+    hidden scratch; the ±W row taps are W-aligned slice reads, only the
+    ±1 column taps roll;
   * column wrap-around of the flattened ±1 taps (and the roll's circular
-    wrap) is cancelled by precomputed column masks; out-of-image top/bottom
-    halo rows (which carry LN-bias garbage because the reference zero-pads
-    AFTER pw1) by first/last-strip row masks.
+    wrap) is cancelled by a precomputed column mask; the clamped above/below
+    rows on the first/last image row (which would otherwise inject garbage —
+    the reference zero-pads AFTER pw1, turtle_arch.py:170-172) by
+    first/last-row masks;
+  * W % 8 == 0 is required for aligned row blocks (callers fall back to the
+    XLA path otherwise).
 """
 
 from __future__ import annotations
@@ -38,20 +43,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LN_EPS = 1e-5
-_VMEM_BUDGET = 9 * 1024 * 1024
-
-
-def _pick_strip(h: int, w: int, c: int, ch: int, halo: int) -> int:
-    """Rows per strip S (S | H) fitting the VMEM budget."""
-    best = 0
-    for s in range(1, min(h, 64) + 1):
-        if h % s:
-            continue
-        n = (s + 2 * halo) * w
-        mem = n * c * 2 + n * ch * 2 + s * w * ch * 4 + s * w * c * 2
-        if mem <= _VMEM_BUDGET:
-            best = s
-    return best
+# v5e exposes far more VMEM than the 16MB default scoped limit; the kernel
+# requests a raised limit and budgets well inside it
+_VMEM_BUDGET = 30 * 1024 * 1024
+_VMEM_LIMIT = 72 * 1024 * 1024
 
 
 def _erf(v):
@@ -71,89 +66,117 @@ def _gelu_exact(v):
     return 0.5 * v * (1.0 + _erf(v * (2.0 ** -0.5)))
 
 
-def _ln_2d(x, ln_w, ln_b, ln_mode):
-    if ln_mode == "none":
-        return x
+def _ln_2d_f32(x, ln_w, ln_b, ln_mode):
     xf = x.astype(jnp.float32)
+    if ln_mode == "none":
+        return xf
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + _LN_EPS)
     g = ln_w[:].astype(jnp.float32)
     if ln_mode == "bias_free":
-        return (xf * inv * g).astype(x.dtype)
-    return ((xf - mu) * inv * g + ln_b[:].astype(jnp.float32)).astype(x.dtype)
+        return xf * inv * g
+    return (xf - mu) * inv * g + ln_b[:].astype(jnp.float32)
 
 
-def _roll_rows(v, shift: int):
-    """Sublane roll that works for 16-bit data via int32 bitcast."""
-    n = v.shape[0]
-    shift = shift % n
-    if shift == 0:
-        return v
-    if v.dtype.itemsize == 4:
-        return pltpu.roll(v, shift=shift, axis=0)
-    assert v.dtype.itemsize == 2 and v.shape[1] % 2 == 0
-    as32 = pltpu.bitcast(v, jnp.int32)  # (n, ch//2)
-    return pltpu.bitcast(pltpu.roll(as32, shift=shift, axis=0), v.dtype)
+def _ln_2d(x, ln_w, ln_b, ln_mode):
+    return _ln_2d_f32(x, ln_w, ln_b, ln_mode).astype(x.dtype)
 
 
-def _dw_kernel(x_hbm, ln_w, ln_b, w1, b1, wd, bd, w2, b2, scale, cm_l, cm_r,
-               top_m, bot_m, out_ref, xtile, h1_ref, sem, *, mode, ln_mode,
-               s_rows, w_img, c, ch, residual):
-    b = pl.program_id(0)
+def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
+               e_dim, has_b1, residual):
+    """Strip program: S image rows per step + one halo row each side (the
+    halo rows arrive as separate clamped row blocks).
+
+    The depthwise 3x3 is folded INTO the pointwise matmul via
+    (X @ W1) * wd_k == X @ (W1 ⊙ wd_k): the hidden map is the sum of 9 MXU
+    matmuls of shifted LN(x) against pre-scaled weights — no per-element
+    VPU tap arithmetic. Column shifts are two fp32 rolls of the small
+    (n, C) LN buffer (masked at the wrap); row shifts are aligned slices;
+    the dw/pw1 biases' boundary behaviour is reconstructed with outer-
+    product corrections (only when biases exist).
+
+    rest layout: w1_a, wd9_a, (w1_b, wd9_b if gate), bias_vecs (9 or 18 if
+    has_b1: s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/s_br per half), w2, b2,
+    scale, cml_x, cmr_x, ml, mr, mt, mb, then out_ref, xn_ref, h1_ref."""
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = rest[idx: idx + k]
+        idx += k
+        return out
+
+    w1_a, wd9_a = take(2)
+    w1_b, wd9_b = take(2) if mode == "gate" else (w1_a, wd9_a)
+    sv_a = take(9) if has_b1 else None
+    sv_b = (take(9) if mode == "gate" else sv_a) if has_b1 else None
+    w2, b2, scale, cml_x, cmr_x, ml, mr, mt, mb = take(9)
+    out_ref, xn_ref, h1_ref = rest[idx:]
+
     i = pl.program_id(1)
-    sw = s_rows * w_img
-    n = (s_rows + 2) * w_img
-
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * sw, n), :], xtile, sem)
-    copy.start()
-    copy.wait()
-    x = xtile[:]  # (n, c)
-
-    xn = _ln_2d(x, ln_w, ln_b, ln_mode)
-    h1 = jnp.dot(xn, w1[:], preferred_element_type=jnp.float32)
-    h1 = (h1 + b1[:].astype(jnp.float32)).astype(x.dtype)
-    h1_ref[:] = h1
-
     last = pl.num_programs(1) - 1
-    ones = cm_l[:] * 0.0 + 1.0
-    acc = jnp.zeros((sw, ch), jnp.float32)
-    for di in (-1, 0, 1):
-        # top/bottom strip fix: taps reaching the zero-pad image rows carry
-        # LN-bias/b1 garbage — mask them on the boundary strips only
-        if di == -1:
-            rowm = jnp.where(i == 0, top_m[:], ones)
-        elif di == 1:
-            rowm = jnp.where(i == last, bot_m[:], ones)
-        else:
-            rowm = ones
+    w = w_img
+    sw = s_rows * w
+    n = sw + 2 * w
+
+    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
+    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
+    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
+    # clamped halo rows at the image border must act zero-padded
+    f0 = (i == 0).astype(jnp.float32)
+    fl = (i == last).astype(jnp.float32)
+    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
+    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+
+    cdt = xm.dtype
+    xn_cdt = xn_ref[:].astype(cdt)
+
+    def dw_half(w1h, wd9h, sv):
+        # pw1 ONCE on the MXU, bias excluded so the zeroed halos stay zero
+        h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
+        acc = jnp.zeros((sw, e_dim), jnp.float32)
         for dj in (-1, 0, 1):
-            colm = cm_l[:] if dj == -1 else (cm_r[:] if dj == 1 else ones)
-            off = di * w_img + dj
-            shifted = _roll_rows(h1_ref[:], -off)[w_img:w_img + sw, :]
-            k = (di + 1) * 3 + (dj + 1)
-            acc += (shifted.astype(jnp.float32) * (rowm * colm)
-                    * wd[k].astype(jnp.float32))
-    hd = acc + bd[:].astype(jnp.float32)
+            # one rolled+wrap-masked base per column shift, then 3 pure
+            # multiply-add taps against per-tap dw weights (VPU)
+            if dj == -1:
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+            elif dj == 1:
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+            else:
+                base = h1_ref[:]
+            for di in (-1, 0, 1):
+                lo = w + di * w
+                k = (di + 1) * 3 + (dj + 1)
+                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
+        if sv is not None:
+            s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
+                v[:].astype(jnp.float32) for v in sv]
+            bias_map = (s_all - ml[:] * s_l - mr[:] * s_r
+                        - f0 * mt[:] * s_t - fl * mb[:] * s_b
+                        + f0 * (mt[:] * ml[:]) * s_tl
+                        + f0 * (mt[:] * mr[:]) * s_tr
+                        + fl * (mb[:] * ml[:]) * s_bl
+                        + fl * (mb[:] * mr[:]) * s_br)
+            acc = acc + bias_map
+        return acc
 
     if mode == "gate":
-        e = ch // 2
-        act = _gelu_exact(hd[:, :e]) * hd[:, e:]
+        hdb = dw_half(w1_b, wd9_b, sv_b)
+        act = _gelu_exact(dw_half(w1_a, wd9_a, sv_a)) * hdb
     else:
-        act = _gelu_exact(hd)
+        act = _gelu_exact(dw_half(w1_a, wd9_a, sv_a))
 
-    out = jnp.dot(act.astype(x.dtype), w2[:],
-                  preferred_element_type=jnp.float32)
+    out = jnp.dot(act.astype(cdt), w2[:], preferred_element_type=jnp.float32)
     out = (out + b2[:].astype(jnp.float32)) * scale[:].astype(jnp.float32)
     if residual:
-        out = out + x[w_img:w_img + sw, :].astype(jnp.float32)
+        out = out + xm[0].astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
                ln_mode, residual):
-    """No-dwconv variant (FFW): plain blocked rows, no halo/DMA."""
+    """No-dwconv variant (FFW): plain blocked rows, no halo."""
     x = x_ref[0]
     xn = _ln_2d(x, ln_w, ln_b, ln_mode)
     hd = jnp.dot(xn, w1[:], preferred_element_type=jnp.float32)
@@ -171,11 +194,31 @@ def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def ffn_pallas_supported(h: int, w: int, c: int, ch: int,
+def _strip_mem(s: int, w: int, c: int, e: int) -> int:
+    n = (s + 2) * w
+    return (n * c * 6            # fp32 LN scratch + cast copy
+            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
+            + 4 * s * w * e * 4  # acc/hdb/gelu transients
+            + 3 * s * w * c * 4  # out accumulator, residual
+            + 4 * s * w * c * 2)  # double-buffered main/out blocks
+
+
+def _pick_strip(h: int, w: int, c: int, e: int) -> int:
+    """Rows per strip (divides h) fitting the VMEM budget; bigger strips
+    amortise per-program overhead and give the MXU larger matmuls."""
+    best = 0
+    for s in range(1, min(h, 32) + 1):
+        if h % s == 0 and _strip_mem(s, w, c, e) <= _VMEM_BUDGET:
+            best = s
+    return best
+
+
+def ffn_pallas_supported(h: int, w: int, c: int, e_dim: int,
                          has_dw: bool) -> bool:
-    if w % 8 or c % 2 or ch % 2:
+    """e_dim = per-gate-half hidden width (CH//2 for gate, CH otherwise)."""
+    if w % 8 or e_dim % 2:
         return False
-    if has_dw and _pick_strip(h, w, c, ch, 1) == 0:
+    if has_dw and _pick_strip(h, w, c, e_dim) == 0:
         return False
     return True
 
@@ -190,24 +233,27 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
     """
     b, h, w, c = x.shape
     ch = w1.shape[1]
-    halo = 1 if wd is not None else 0
+    halo = wd is not None
     dt = x.dtype
     zeros = functools.partial(jnp.zeros, dtype=dt)
     ln_mode = ("none" if ln_w is None
                else ("bias_free" if ln_b is None else "with_bias"))
     ln_args = (ln_w if ln_w is not None else zeros((c,)),
                ln_b if ln_b is not None else zeros((c,)))
-    b1a = b1 if b1 is not None else zeros((ch,))
+    b1f = b1 if b1 is not None else zeros((ch,))
     e_dim = ch // 2 if mode == "gate" else ch
     b2a = b2 if b2 is not None else zeros((c,))
     sc = scale if scale is not None else jnp.ones((c,), dt)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
+    xf = x.reshape(b, h * w, c)
+
     if not halo:
-        xf = x.reshape(b, h * w, c)
         rows = h * w
         s = rows
-        while s * (c * 4 + ch * 6) > _VMEM_BUDGET and s % 2 == 0:
+        # per-row live bytes: x + LN copy + fp32 hidden + ~3 gelu
+        # transients + fp32 out accumulator
+        while s * (c * 10 + ch * 16) > _VMEM_BUDGET and s % 2 == 0:
             s //= 2
         grid = (b, rows // s)
         out = pl.pallas_call(
@@ -220,49 +266,95 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
             out_specs=pl.BlockSpec((1, s, c), lambda b_, i: (b_, i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, rows, c), dt),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
             interpret=interpret,
-        )(xf, *ln_args, w1, b1a, w2, b2a, sc)
+        )(xf, *ln_args, w1, b1f, w2, b2a, sc)
         return out.reshape(b, h, w, c)
 
     assert w % 8 == 0, "fused dw-FFN kernel needs W % 8 == 0"
-    s_rows = _pick_strip(h, w, c, ch, 1)
+
+    pass  # column masks are built per strip size below
+
+    wd9 = wd.reshape(9, ch).astype(jnp.float32)
+    has_b1 = (b1 is not None) or (bd is not None)
+    bdf = (bd if bd is not None else zeros((ch,))).astype(jnp.float32)
+    b1ff = b1f.astype(jnp.float32)
+
+    def half_args(lo):
+        """(w1 half, per-tap dw weights) + optionally 9 bias vectors for
+        channels [lo, lo+e_dim) of the hidden dim."""
+        w1h = w1[:, lo:lo + e_dim]
+        wdh = wd9[:, lo:lo + e_dim]
+        b1h = b1ff[lo:lo + e_dim]
+        bdh = bdf[lo:lo + e_dim]
+        mats = [w1h, wdh]
+        if not has_b1:
+            return mats
+        tb = wdh * b1h[None, :]  # (9, e) per-tap bias contributions
+        s_all = tb.sum(0) + bdh
+        s_l = tb[0] + tb[3] + tb[6]  # dj == -1 taps
+        s_r = tb[2] + tb[5] + tb[8]  # dj == +1
+        s_t = tb[:3].sum(0)          # di == -1
+        s_b = tb[6:].sum(0)          # di == +1
+        return mats + [s_all, s_l, s_r, s_t, s_b, tb[0], tb[2], tb[6], tb[8]]
+
+    a0 = half_args(0)
+    if mode == "gate":
+        a1 = half_args(e_dim)
+        args = a0[:2] + a1[:2] + a0[2:] + a1[2:]
+    else:
+        args = a0
+
+    s_rows = _pick_strip(h, w, c, e_dim)
     assert s_rows, "no feasible strip size; use the XLA path"
     sw = s_rows * w
+    n = sw + 2 * w
 
-    # flatten with one zero image row above/below (the dw halo)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0))).reshape(
-        b, (h + 2) * w, c)
-
-    # column masks: the flattened ±1 taps wrap across image rows — the
-    # reference's dw zero-padding means those contributions are 0
+    # wrap masks for the rolled LN buffer (n rows) and boundary-position
+    # masks for the bias corrections (sw rows)
+    arange_n = np.arange(n)
+    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
+    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
     col = np.arange(sw) % w
-    cm_l = jnp.asarray((col != 0).astype(np.float32)[:, None])
-    cm_r = jnp.asarray((col != w - 1).astype(np.float32)[:, None])
-    # first/last strip: taps into the zero-pad image rows contribute 0
     row = np.arange(sw) // w
-    top_m = jnp.asarray((row != 0).astype(np.float32)[:, None])
-    bot_m = jnp.asarray((row != s_rows - 1).astype(np.float32)[:, None])
+    ml = jnp.asarray((col == 0).astype(np.float32)[:, None])
+    mr = jnp.asarray((col == w - 1).astype(np.float32)[:, None])
+    mt = jnp.asarray((row == 0).astype(np.float32)[:, None])
+    mb = jnp.asarray((row == s_rows - 1).astype(np.float32)[:, None])
 
-    wd9 = wd.reshape(9, ch)
-    bda = bd if bd is not None else zeros((ch,))
+    args += [w2, b2a, sc, cml_x, cmr_x, ml, mr, mt, mb]
 
     grid = (b, h // s_rows)
     kernel = functools.partial(
-        _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w, c=c,
-        ch=ch, residual=residual)
+        _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
+        e_dim=e_dim, has_b1=has_b1, residual=residual)
+    last_row = h - 1
+    s_ = s_rows
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
-        + [vmem()] * 13,
+        in_specs=[
+            # halo row above / S main rows / halo row below; halos are
+            # clamped at the borders (zeroed in-kernel)
+            pl.BlockSpec((1, w, c),
+                         lambda b_, i: (b_, jnp.maximum(i * s_ - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, c),
+                         lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
+                                        0),
+                         memory_space=pltpu.VMEM),
+        ] + [vmem()] * (2 + len(args)),
         out_specs=pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, c), dt),
         scratch_shapes=[
-            pltpu.VMEM(((s_rows + 2) * w, c), dt),
-            pltpu.VMEM(((s_rows + 2) * w, ch), dt),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((n, c), jnp.float32),      # LN(x) with halo rows
+            pltpu.VMEM((n, e_dim), jnp.float32),  # pw1 hidden (rollable)
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xp, *ln_args, w1, b1a, wd9, bda, w2, b2a, sc, cm_l, cm_r, top_m,
-      bot_m).reshape(b, h, w, c)
+    )(xf, xf, xf, *ln_args, *args).reshape(b, h, w, c)

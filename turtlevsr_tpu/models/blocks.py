@@ -188,40 +188,77 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
     ``torch.cat([k_cached, k], dim=2)`` (turtle_arch.py:273-275); masked-out
     history tokens are numerically absent from the softmax.
 
+    TPU note: the reference's formulation l2-normalises the transposed
+    (ctok, h*w) token tensors and matmuls them — materialising several
+    full-map copies (~9.5 GB of HBM traffic per 720p block). Here the Gram
+    matrix is contracted DIRECTLY from the map layout (B, L, heads, ctok)
+    and normalised by the per-token norms afterwards — identical math
+    (q/|q|)·(k/|k|) = (q·k)/(|q||k|), but the only big tensors ever written
+    are the qkv maps themselves.
+
     Returns (out_map, k_tokens, v_tokens) with k/v being the CURRENT frame's
-    normalised tokens (the caller manages caching).
+    normalised tokens in cache layout (B, heads, ctok, L).
     """
     b, h, w, c = x.shape
+    l = h * w
+    ctok = c // heads
     qkv = _conv(params["qkv"], x)
     qkv = _conv(params["qkv_dwconv"], qkv, padding=1)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = l2_normalize(_channel_tokens(q, heads), axis=-1)
-    k = l2_normalize(_channel_tokens(k, heads), axis=-1)
-    v = _channel_tokens(v, heads)
+    qkv = qkv.reshape(b, l, 3, heads, ctok)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, heads, ctok)
+
+    ad = acc_dtype(x.dtype)
+    eps = jnp.asarray(1e-12, ad)  # torch F.normalize clamp
+
+    def norms(t):
+        sq = jnp.einsum("blhc,blhc->bhc", t, t, preferred_element_type=ad)
+        return jnp.maximum(jnp.sqrt(sq), eps)
+
+    nq = norms(q)  # (B, heads, ctok)
+    nk = norms(k)
+
+    # normalised Gram of current-frame tokens: (q/|q|)·(k/|k|)
+    g = jnp.einsum("blhc,blhd->bhcd", q, k, preferred_element_type=ad)
+    g = g / (nq[:, :, :, None] * nk[:, :, None, :])
 
     if k_hist is not None:
-        k_all = jnp.concatenate([k_hist.astype(k.dtype), k], axis=2)
-        v_all = jnp.concatenate([v_hist.astype(v.dtype), v], axis=2)
+        # history keys are stored pre-normalised (B, heads, T*ctok, L)
+        gh = jnp.einsum("blhc,bhdl->bhcd", q, k_hist,
+                        preferred_element_type=ad)
+        gh = gh / nq[:, :, :, None]
+        scores = jnp.concatenate([gh, g], axis=-1)
         if hist_valid is not None:
-            cur_valid = jnp.ones((k.shape[2],), bool)
-            valid = jnp.concatenate([hist_valid, cur_valid])[None, None, None, :]
+            cur_valid = jnp.ones((ctok,), bool)
+            valid = jnp.concatenate([hist_valid, cur_valid])[None, None,
+                                                             None, :]
         else:
             valid = None
     else:
-        k_all, v_all, valid = k, v, None
+        scores, valid = g, None
 
-    ad = acc_dtype(x.dtype)
     temp = params["temperature"].astype(ad)[None]  # (1, heads, 1, 1)
-    # bf16 operands, fp32 MXU accumulation — no upcast copies of the big
-    # (ctok, h*w) token tensors
-    attn = jnp.einsum("bhcl,bhkl->bhck", q, k_all,
-                      preferred_element_type=ad) * temp
-    attn = masked_softmax(attn, valid)
-    out = jnp.einsum("bhck,bhkl->bhcl", attn.astype(v_all.dtype), v_all,
-                     preferred_element_type=ad).astype(x.dtype)
-    out = _channel_tokens_merge(out, h, w)
+    attn = masked_softmax(scores * temp, valid)
+    attn = attn.astype(x.dtype)
+
+    if k_hist is not None:
+        nh = k_hist.shape[2]
+        attn_hist, attn_cur = attn[..., :nh], attn[..., nh:]
+        out = jnp.einsum("bhcd,blhd->blhc", attn_cur, v,
+                         preferred_element_type=ad)
+        out = out + jnp.einsum("bhcd,bhdl->blhc", attn_hist,
+                               v_hist.astype(x.dtype),
+                               preferred_element_type=ad)
+    else:
+        out = jnp.einsum("bhcd,blhd->blhc", attn, v,
+                         preferred_element_type=ad)
+    out = out.astype(x.dtype).reshape(b, h, w, c)
     out = _conv(params["project_out"], out)
-    return out, k, v
+
+    # cache-layout current tokens (normalised k, raw v), (B, heads, ctok, L)
+    k_cache = (k.astype(ad) / nk[:, None]).astype(x.dtype)
+    k_cache = k_cache.transpose(0, 2, 3, 1)
+    v_cache = v.transpose(0, 2, 3, 1)
+    return out, k_cache, v_cache
 
 
 def channel_attention_apply(params, x, heads: int):

@@ -77,13 +77,29 @@ def clipped_softmax(combined, axis: int = -1):
 
 def topk_keep(scores, k: int):
     """Zero out everything but the top-k entries of the last axis
-    (turtle_t1_arch.py:327-332 zero_out_non_top_k)."""
+    (turtle_t1_arch.py:327-332 zero_out_non_top_k).
+
+    Implemented as k rounds of running-max instead of lax.top_k: for tiny k
+    over wide rows, k masked max-reductions are far cheaper on the VPU than
+    the sort top_k lowers to. Ties: each round keeps the FIRST occurrence
+    of the round's max (torch.topk also returns k distinct positions)."""
     k = min(k, scores.shape[-1])
-    _, idx = jax.lax.top_k(scores, k)
-    mask = jnp.zeros_like(scores)
-    mask = jnp.put_along_axis(mask, idx, jnp.ones_like(idx, scores.dtype),
-                              axis=-1, inplace=False)
-    return scores * mask
+    n = scores.shape[-1]
+    idx = jax.lax.broadcasted_iota(jnp.int32, scores.shape,
+                                   scores.ndim - 1)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    remaining = scores
+    keep = jnp.zeros(scores.shape, bool)
+    for _ in range(k):
+        m = jnp.max(remaining, axis=-1, keepdims=True)
+        is_max = remaining == m
+        # first occurrence only (matches a k-distinct-positions top-k)
+        first = idx == jnp.min(jnp.where(is_max, idx, n), axis=-1,
+                               keepdims=True)
+        hit = is_max & first
+        keep = keep | hit
+        remaining = jnp.where(hit, neg_inf, remaining)
+    return scores * keep.astype(scores.dtype)
 
 
 @functools.lru_cache(maxsize=64)
