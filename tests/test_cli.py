@@ -1,0 +1,187 @@
+"""End-to-end CLI smoke tests (subprocess, CPU, tiny config)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_YML = """\
+name: tiny_debug_cli
+model_type: VideoRestorationModel
+scale: 1
+num_gpu: 1
+manual_seed: 3
+n_sequence: 3
+dir_data: ['{root}']
+n_colors: 3
+rgb_range: 1
+no_augment: False
+loss_type: 1*L1
+patch_size: 64
+size_must_mode: 4
+model: Turtle_t1_arch
+type: deblurring
+dim: 8
+Enc_blocks: [1, 1, 2]
+Middle_blocks: 2
+Dec_blocks: [2, 1, 1]
+num_refinement_blocks: 1
+use_both_input: False
+num_heads: [1, 2, 4, 8]
+num_frames_tocache: 2
+ffn_expansion_factor: 2.5
+encoder1_attn_type1 : "ReducedAttn"
+encoder1_attn_type2 : "ReducedAttn"
+encoder1_ffw_type : "FFW"
+encoder2_attn_type1 : "ReducedAttn"
+encoder2_attn_type2 : "ReducedAttn"
+encoder2_ffw_type : "FFW"
+encoder3_attn_type1 : "Channel"
+encoder3_attn_type2 : "Channel"
+encoder3_ffw_type : "GFFW"
+decoder1_attn_type1 : "Channel"
+decoder1_attn_type2 : "CHM"
+decoder1_ffw_type : "GFFW"
+decoder2_attn_type1 : "Channel"
+decoder2_attn_type2 : "CHM"
+decoder2_ffw_type : "GFFW"
+decoder3_attn_type1 : "Channel"
+decoder3_attn_type2 : "CHM"
+decoder3_ffw_type : "GFFW"
+latent_attn_type1 : "FHR"
+latent_attn_type2 : "Channel"
+latent_attn_type3 : "FHR"
+latent_ffw_type : "GFFW"
+refinement_attn_type1 : "ReducedAttn"
+refinement_attn_type2 : "ReducedAttn"
+refinement_ffw_type : "GFFW"
+datasets:
+  train:
+    name: tiny-train
+    batch_size_per_gpu: 1
+    num_worker_per_gpu: 1
+    dataset_enlarge_ratio: 1
+  val:
+    name: tiny-val
+    dir_data: ['{root}']
+train:
+  optim_g:
+    type: Adam
+    lr: !!float 4e-4
+    weight_decay: 0
+    betas: [0.9, 0.99]
+  scheduler:
+    type: TrueCosineAnnealingLR
+    T_max: 16
+    eta_min: !!float 1e-7
+  total_iter: 16
+  warmup_iter: -1
+val:
+  val_freq: 8
+  metrics:
+    psnr:
+      type: calculate_psnr
+      crop_border: 0
+      test_y_channel: false
+logger:
+  print_freq: 1
+  save_checkpoint_freq: 8
+  use_tb_logger: false
+"""
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    from PIL import Image
+
+    wd = tmp_path_factory.mktemp("cli")
+    root = wd / "data"
+    rng = np.random.RandomState(0)
+    for sub in ("gt", "blur"):
+        for v in range(1):
+            d = root / sub / f"video{v}"
+            d.mkdir(parents=True)
+            for f in range(5):
+                img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(d / f"{f:05d}.png")
+    yml = wd / "tiny.yml"
+    yml.write_text(TINY_YML.format(root=root))
+    return wd
+
+
+def _run(args, cwd):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    # the sitecustomize pins axon; force cpu via a sitecustomize shim
+    shim = os.path.join(cwd, "_forcecpu.py")
+    if not os.path.exists(shim):
+        open(shim, "w").write(
+            "import jax\njax.config.update('jax_platforms','cpu')\n")
+    r = subprocess.run([sys.executable, "-c",
+                        "import jax; jax.config.update('jax_platforms','cpu');"
+                        f"import sys; sys.argv = {args!r};"
+                        f"import runpy; runpy.run_module('{args[0]}', "
+                        "run_name='__main__')"],
+                       cwd=cwd, env=env, capture_output=True, text=True,
+                       timeout=1200)
+    assert r.returncode == 0, f"STDOUT:\n{r.stdout}\nSTDERR:\n{r.stderr}"
+    return r.stdout + r.stderr
+
+
+def test_train_cli_runs_and_resumes(workdir):
+    yml = str(workdir / "tiny.yml")
+    out = _run(["turtlevsr_tpu.cli.train", "-opt", yml, "--max_iters", "4"],
+               cwd=str(workdir))
+    assert "Start training from iter 0" in out
+    assert "l_pix" in out
+    # auto-resume picks up the final checkpoint
+    out2 = _run(["turtlevsr_tpu.cli.train", "-opt", yml, "--max_iters", "6"],
+                cwd=str(workdir))
+    assert "Resuming training from iter 4" in out2
+
+
+def test_infer_cli_with_gt(workdir):
+    yml = str(workdir / "tiny.yml")
+    data = str(workdir / "data" / "blur")
+    out = _run(["turtlevsr_tpu.cli.infer", "-opt", yml, "--data_dir", data,
+                "--kernels", "xla", "--dtype", "float32",
+                "--max_frames", "3",
+                "--save_path", str(workdir / "results")],
+               cwd=str(workdir))
+    assert "PSNR for video0:" in out
+    assert "FPS:" in out
+    assert os.path.exists(workdir / "results" / "video0" / "Frame_1_Pred.png")
+
+
+def test_infer_cli_tiled_no_gt(workdir):
+    yml = str(workdir / "tiny.yml")
+    data = str(workdir / "data" / "blur")
+    out = _run(["turtlevsr_tpu.cli.infer", "-opt", yml, "--data_dir", data,
+                "--no_gt", "--tile", "48", "--tile_overlap", "16",
+                "--kernels", "xla", "--dtype", "float32",
+                "--max_frames", "2"],
+               cwd=str(workdir))
+    assert "FPS:" in out
+
+
+def test_video_cli_roundtrip(workdir, tmp_path):
+    import cv2
+
+    frames = str(workdir / "data" / "gt" / "video0")
+    mp4 = str(tmp_path / "out.mp4")
+    out = _run(["turtlevsr_tpu.cli.video", "assemble", frames, mp4],
+               cwd=str(workdir))
+    assert "wrote" in out
+    outdir = str(tmp_path / "frames")
+    out = _run(["turtlevsr_tpu.cli.video", "extract", mp4, outdir],
+               cwd=str(workdir))
+    assert "extracted 5 frames" in out
+    cmp_mp4 = str(tmp_path / "cmp.mp4")
+    out = _run(["turtlevsr_tpu.cli.video", "compare", frames, outdir,
+                cmp_mp4], cwd=str(workdir))
+    assert "wrote" in out

@@ -1,0 +1,158 @@
+"""Inference / evaluation CLI — the basicsr/inference.py and
+inference_no_ground_truth.py equivalents.
+
+With ground truth (per-video PSNR/SSIM, eval-script metric variants):
+
+    python -m turtlevsr_tpu.cli.infer -opt options/Turtle_Deblur_Gopro.yml \\
+        --model_path ckpt_dir_or_pth --data_dir /data/GoPro/test/blur \\
+        --tile 320 --tile_overlap 128 --save_path results/
+
+Without ground truth (arbitrary frame folders, FPS report):
+
+    python -m turtlevsr_tpu.cli.infer ... --no_gt
+
+Protocol notes (mirroring inference.py:260-370):
+  * frames stream per video in sorted order, causal history threaded,
+  * --tile enables the reference's sliding-window protocol (per-tile
+    caches); omit for whole-frame (fits on a 16 GB chip in bf16),
+  * denoising: gaussian noise sigma=--noise_sigma/255 is synthesised on the
+    GT frames (fixed seed per video, inference.py:115-124),
+  * SR inputs are bicubic-downsampled x4 before the model,
+  * metrics use the eval-script implementations (255-range PSNR,
+    scipy-gaussian SSIM; optional Y-channel) — NOT the val-loop variants.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import time
+from statistics import mean
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-opt", "--opt", required=True)
+    p.add_argument("--model_path", default=None,
+                   help=".pth (reference) or orbax params dir; random init "
+                        "if omitted (smoke testing)")
+    p.add_argument("--data_dir", required=True,
+                   help="folder of video folders (the LQ/blur side)")
+    p.add_argument("--gt_dir", default=None,
+                   help="GT folder; defaults to data_dir with 'blur'->'gt'")
+    p.add_argument("--save_path", default=None)
+    p.add_argument("--tile", type=int, default=0,
+                   help="tile size (0 = whole frame)")
+    p.add_argument("--tile_overlap", type=int, default=128)
+    p.add_argument("--no_gt", action="store_true")
+    p.add_argument("--y_channel", action="store_true")
+    p.add_argument("--noise_sigma", type=float, default=None,
+                   help="denoising: synthesize noisy inputs at sigma/255")
+    p.add_argument("--kernels", choices=["xla", "pallas"], default="pallas")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--max_frames", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from turtlevsr_tpu.config.options import load_options, model_config_from_options
+    from turtlevsr_tpu.eval.engine import InferenceEngine, VideoFrames
+    from turtlevsr_tpu.io.checkpoint import restore_params
+    from turtlevsr_tpu.metrics import bgr2ycbcr, psnr_255, ssim_gaussian
+    from turtlevsr_tpu.models.turtle import init_params
+    from turtlevsr_tpu.utils.img import img_from_float, imwrite
+
+    opt = load_options(args.opt, is_train=False)
+    opt["kernels"] = args.kernels
+    cfg = model_config_from_options(opt)
+
+    if args.model_path:
+        params = restore_params(args.model_path)
+        print(f"> Loaded Model. ({args.model_path})")
+    else:
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        print("> WARNING: random init (no --model_path)")
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    engine = InferenceEngine(
+        cfg, params, mode="tiled" if args.tile else "whole",
+        tile=args.tile, tile_overlap=args.tile_overlap, dtype=dtype)
+
+    videos = sorted(d for d in glob.glob(os.path.join(args.data_dir, "*"))
+                    if os.path.isdir(d))
+    if not videos:
+        raise FileNotFoundError(f"no video folders under {args.data_dir}")
+
+    all_psnr, all_ssim = [], []
+    total_frames, total_time = 0, 0.0
+    for vdir in videos:
+        vname = os.path.basename(vdir)
+        frames = VideoFrames(vdir)
+        gt_frames = None
+        if not args.no_gt and args.noise_sigma is None:
+            gt_dir = args.gt_dir or args.data_dir.replace("blur", "gt")
+            gt_frames = VideoFrames(os.path.join(gt_dir, vname))
+        print(f"> # of Frames in {vname}: {len(frames)}")
+
+        noise_rng = np.random.RandomState(0)
+        engine.reset()
+        v_psnr, v_ssim = [], []
+        gt_iter = iter(gt_frames) if gt_frames else None
+        for ix, frame in enumerate(frames):
+            if args.max_frames and ix >= args.max_frames:
+                break
+            gt = next(gt_iter) if gt_iter else None
+            if args.noise_sigma is not None:
+                gt = frame
+                frame = (frame + noise_rng.normal(
+                    0.0, args.noise_sigma / 255.0, frame.shape)
+                ).astype(np.float32)
+
+            t0 = time.perf_counter()
+            out = engine.step(frame)
+            out_u8 = img_from_float(out)
+            total_time += time.perf_counter() - t0
+            total_frames += 1
+
+            if gt is not None and not args.no_gt:
+                gt_u8 = img_from_float(gt)
+                if args.y_channel:
+                    a = bgr2ycbcr(out_u8[:, :, ::-1])
+                    b_ = bgr2ycbcr(gt_u8[:, :, ::-1])
+                else:
+                    a, b_ = out_u8, gt_u8
+                ps = psnr_255(a, b_)
+                ss = ssim_gaussian(a, b_)
+                v_psnr.append(ps)
+                v_ssim.append(ss)
+                print(f"PSNR for Frame: {ix} -- {ps}")
+
+            if args.save_path:
+                imwrite(out_u8, os.path.join(args.save_path, vname,
+                                             f"Frame_{ix + 1}_Pred.png"))
+
+        if v_psnr:
+            print(f"PSNR for {vname}: {mean(v_psnr)}")
+            print(f"SSIM for {vname} is {mean(v_ssim)}")
+            all_psnr += v_psnr
+            all_ssim += v_ssim
+
+    if total_frames:
+        print(f"FPS: {total_frames / total_time:.3f} "
+              f"({total_frames} frames in {total_time:.1f}s)")
+    if all_psnr:
+        print(f"Overall PSNR: {mean(all_psnr)}")
+        print(f"Overall SSIM: {mean(all_ssim)}")
+
+
+if __name__ == "__main__":
+    main()

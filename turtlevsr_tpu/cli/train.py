@@ -1,0 +1,240 @@
+"""Training CLI — the basicsr/train.py equivalent.
+
+    python -m turtlevsr_tpu.cli.train -opt options/Turtle_Deblur_Gopro.yml
+
+Differences from the reference (train.py:33-293), by design:
+  * one PROCESS per host, one Mesh over all local chips (vs one process per
+    GPU + DDP/NCCL); gradients all-reduce via XLA collectives,
+  * bf16 mixed precision instead of AMP+GradScaler,
+  * the per-clip frame loop is a jitted lax.scan (train/step.py),
+  * checkpoints via Orbax (io/checkpoint.py) with the same auto-resume
+    behaviour (newest training_states entry wins, train.py:147-167),
+  * "debug" in the experiment name shrinks val/log/save freqs to 8/1/8
+    (options.py:84-89).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from os import path as osp
+
+import numpy as np
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-opt", type=str, required=True,
+                        help="Path to option YAML file.")
+    parser.add_argument("--launcher", choices=["none", "pytorch", "slurm"],
+                        default="none", help="accepted for reference-CLI "
+                        "compatibility; ignored (JAX discovers the topology)")
+    parser.add_argument("--local_rank", type=int, default=0)
+    parser.add_argument("--kernels", choices=["xla", "pallas"], default=None)
+    parser.add_argument("--max_iters", type=int, default=None,
+                        help="override total_iter (smoke tests)")
+    return parser.parse_args()
+
+
+def build_validation(cfg, val_opt, opt):
+    """Validation over full val clips: per-frame PSNR (and optional SSIM)
+    like nondist_validation (video_restoration_model.py:149-224)."""
+    import jax
+    import jax.numpy as jnp
+
+    from turtlevsr_tpu.metrics import calculate_psnr, calculate_ssim
+    from turtlevsr_tpu.models.turtle import forward, init_cache
+
+    metrics_opt = (opt.get("val") or {}).get("metrics") or {}
+
+    def validate(params, dataset, max_clips=8):
+        fwd = jax.jit(lambda p, x, c: forward(p, cfg, x, c))
+        results = {name: [] for name in metrics_opt}
+        n = min(len(dataset), max_clips)
+        for idx in range(n):
+            item = dataset[idx]
+            lq, gt = item["lq"], item["gt"]
+            t, h, w, _ = lq.shape
+            cache = init_cache(cfg, 1, h, w, dtype=jnp.bfloat16)
+            prev = lq[0]
+            for j in range(t):
+                x = jnp.asarray(np.stack([prev, lq[j]])[None],
+                                jnp.bfloat16)
+                out, cache = fwd(params, x, cache)
+                pred = np.clip(np.asarray(out[0], np.float32), 0, 1)
+                for name, mopt in metrics_opt.items():
+                    mt = mopt.get("type", "calculate_psnr")
+                    kw = {k: v for k, v in mopt.items() if k != "type"}
+                    if mt == "calculate_psnr":
+                        results[name].append(calculate_psnr(pred, gt[j], **kw))
+                    elif mt == "calculate_ssim":
+                        results[name].append(calculate_ssim(pred, gt[j], **kw))
+                prev = lq[j]
+        return {k: float(np.mean(v)) for k, v in results.items() if v}
+
+    return validate
+
+
+def main():
+    args = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from turtlevsr_tpu.config.options import load_options, model_config_from_options
+    from turtlevsr_tpu.data import EnlargedSampler, PrefetchLoader, create_dataset
+    from turtlevsr_tpu.io.checkpoint import (
+        latest_checkpoint_step, restore_checkpoint, save_checkpoint)
+    from turtlevsr_tpu.models.turtle import init_params
+    from turtlevsr_tpu.parallel.mesh import (
+        make_mesh, maybe_init_distributed, process_is_primary, replicate,
+        shard_batch)
+    from turtlevsr_tpu.train.lr_schedule import build_schedule
+    from turtlevsr_tpu.train.step import TrainState, make_optimizer, make_train_step
+    from turtlevsr_tpu.utils.logger import (
+        MessageLogger, get_env_info, get_root_logger, init_tb_logger)
+    from turtlevsr_tpu.utils.misc import make_exp_dirs, set_random_seed
+
+    maybe_init_distributed()
+
+    opt = load_options(args.opt, is_train=True)
+    if args.kernels:
+        opt["kernels"] = args.kernels
+    if args.max_iters:
+        opt["train"]["total_iter"] = args.max_iters
+
+    # debug mode (options.py:84-89)
+    if "debug" in opt["name"]:
+        opt.setdefault("val", {})["val_freq"] = 8
+        opt.setdefault("logger", {})["print_freq"] = 1
+        opt["logger"]["save_checkpoint_freq"] = 8
+
+    exp_root = osp.join("experiments", opt["name"])
+    opt.setdefault("path", {})
+    opt["path"].update({
+        "experiments_root": exp_root,
+        "models": osp.join(exp_root, "models"),
+        "training_states": osp.join(exp_root, "training_states"),
+        "log": exp_root,
+        "visualization": osp.join(exp_root, "visualization"),
+    })
+
+    resume_step = latest_checkpoint_step(exp_root)
+    if resume_step is None and process_is_primary():
+        make_exp_dirs(opt)
+    os.makedirs(exp_root, exist_ok=True)
+
+    logger = get_root_logger(
+        log_file=osp.join(exp_root, f"train_{opt['name']}.log"))
+    logger.info(get_env_info())
+
+    seed = int(opt.get("manual_seed", 0))
+    set_random_seed(seed)
+
+    cfg = model_config_from_options(opt)
+    train_opt = opt["train"]
+    schedule = build_schedule(train_opt)
+    tx = make_optimizer(train_opt, schedule)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    params = init_params(jax.random.PRNGKey(seed), cfg)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    logger.info(f"Model [{cfg.variant}] params: {n_params / 1e6:.2f} M; "
+                f"mesh: {n_dev} device(s)")
+
+    state = TrainState.create(params, tx)
+    start_iter = 0
+    if resume_step is not None:
+        state = restore_checkpoint(exp_root, resume_step, state)
+        start_iter = resume_step
+        logger.info(f"Resuming training from iter {resume_step}")
+    state = replicate(mesh, state)
+
+    step_fn = make_train_step(cfg, tx, compute_dtype=jnp.bfloat16,
+                              remat=True, mesh=mesh)
+
+    train_ds = create_dataset(opt, "train")
+    dataset_opt = (opt.get("datasets") or {}).get("train") or {}
+    batch_per_dev = int(dataset_opt.get("batch_size_per_gpu", 2))
+    batch = batch_per_dev * n_dev
+    enlarge = int(dataset_opt.get("dataset_enlarge_ratio", 1))
+    sampler = EnlargedSampler(len(train_ds), 1, 0, ratio=enlarge)
+    workers = int(dataset_opt.get("num_worker_per_gpu", 2))
+    loader = PrefetchLoader(train_ds, sampler, batch, num_workers=workers)
+    logger.info(f"Training clips: {len(train_ds)}; batch: {batch} "
+                f"({batch_per_dev}/device)")
+
+    val_ds = None
+    if (opt.get("datasets") or {}).get("val") or (opt.get("val") or {}):
+        try:
+            val_ds = create_dataset(opt, "val")
+        except (FileNotFoundError, AssertionError, KeyError) as e:
+            logger.warning(f"validation dataset unavailable: {e}")
+    validate = build_validation(cfg, (opt.get("datasets") or {}).get("val"),
+                                opt)
+
+    logger_opt = opt.get("logger") or {}
+    tb = None
+    if logger_opt.get("use_tb_logger") and process_is_primary():
+        tb = init_tb_logger(osp.join("tb_logger", opt["name"]))
+    msg_logger = MessageLogger(opt, start_iter + 1, tb)
+
+    total_iters = int(train_opt["total_iter"])
+    print_freq = int(logger_opt.get("print_freq", 200))
+    save_freq = int(float(logger_opt.get("save_checkpoint_freq", 10000)))
+    val_freq = int(float((opt.get("val") or {}).get("val_freq", 0) or 0))
+
+    current_iter = start_iter
+    epoch = 0
+    data_time = iter_time = 0.0
+    t_start = time.time()
+    logger.info(f"Start training from iter {current_iter}")
+
+    while current_iter < total_iters:
+        sampler.set_epoch(epoch)
+        for batch_np in loader:
+            if current_iter >= total_iters:
+                break
+            t_data = time.time()
+            lq, gt = shard_batch(mesh, (batch_np["lq"], batch_np["gt"]))
+            data_time = time.time() - t_data
+
+            t_it = time.time()
+            state, logs = step_fn(state, lq, gt)
+            current_iter += 1
+
+            if current_iter % print_freq == 0:
+                loss = float(logs["l_pix"])  # device sync
+                iter_time = time.time() - t_it
+                msg_logger({"iter": current_iter, "epoch": epoch,
+                            "lrs": [float(schedule(current_iter - 1))],
+                            "time": iter_time, "data_time": data_time,
+                            "l_pix": loss})
+
+            if save_freq and current_iter % save_freq == 0 \
+                    and process_is_primary():
+                logger.info("Saving models and training states.")
+                save_checkpoint(exp_root, current_iter, state)
+
+            if val_freq and val_ds is not None \
+                    and current_iter % val_freq == 0:
+                metrics = validate(jax.device_get(state.params), val_ds)
+                line = "Validation," + "".join(
+                    f"\t # {k}: {v:.4f}" for k, v in metrics.items())
+                logger.info(line)
+                if tb is not None:
+                    for k, v in metrics.items():
+                        tb.add_scalar(f"metrics/{k}", v, current_iter)
+        epoch += 1
+
+    if process_is_primary():
+        logger.info("End of training. Saving the latest model.")
+        save_checkpoint(exp_root, current_iter, state)
+    logger.info(f"Training done in {time.time() - t_start:.1f}s "
+                f"({current_iter} iters)")
+
+
+if __name__ == "__main__":
+    main()
