@@ -212,7 +212,7 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
 
     def norms(t):
         sq = jnp.einsum("blhc,blhc->bhc", t, t, preferred_element_type=ad)
-        return jnp.maximum(jnp.sqrt(sq), eps)
+        return jnp.maximum(_safe_norm(sq), eps)
 
     nq = norms(q)  # (B, heads, ctok)
     nk = norms(k)
@@ -387,6 +387,10 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict]):
     temp = params["temperature"].astype(ad).reshape(())
     attn = jnp.einsum("bqd,bnkd->bnqk", q, k_all,
                       preferred_element_type=ad) * temp
+    # run the sparsity chain (top-5 rounds, local mask, combine) in the
+    # compute dtype — several full passes over the (NF, HW, HW) score
+    # tensor; softmax accumulates in fp32 regardless
+    attn = attn.astype(x.dtype)
     attn1 = topk_keep(attn, 5)
     attn2 = attn * local_window_mask(hq, wq, 4, attn.dtype)[None, None]
     a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
@@ -442,34 +446,75 @@ def chm_init(key, dim: int, heads: int, bias: bool, window_size: int,
     }
 
 
+def _safe_norm(ss):
+    """sqrt(ss) with zero rows mapped to 0 and finite gradients."""
+    nonzero = ss > 0
+    n = jnp.sqrt(jnp.where(nonzero, ss, 1.0))
+    return jnp.where(nonzero, n, 0.0)
+
+
 def chm_apply(params, x, heads: int, ws: int, variant: str,
               slot: Optional[dict]):
     """turtle_arch.py:535-585: aligned = SAB(x, cache); K,V embeddings of all
     aligned frames (frame-major channel tokens); FHR cross-attends the
-    current frame over them. The returned cache is SAB's."""
+    current frame over them. The returned cache is SAB's.
+
+    TPU note: everything stays in NHWC map layout — the Gram matrices are
+    contracted directly with the frame axis riding along, and normalised by
+    per-token norms afterwards (same math as l2-normalise-then-matmul, no
+    transposed full-map copies)."""
     b, h, w, c = x.shape
+    l = h * w
+    ctok = c // heads
     sab = sab_t0_apply if variant == "t0" else sab_t1_apply
     x_sp, fvalid, new_slot = sab(params["spatial_aligner"], x, ws, slot)
     nf = x_sp.shape[1]
 
     xs = x_sp.reshape(b * nf, h, w, c)
     kv = _conv(params["kv_dwconv"], _conv(params["kv"], xs), padding=1)
-    k_, v_ = jnp.split(kv, 2, axis=-1)
+    kv = kv.reshape(b, nf, l, 2, heads, ctok)
+    kh, vh = kv[:, :, :, 0], kv[:, :, :, 1]  # (B, NF, L, heads, ctok)
 
-    ctok = c // heads
+    ad = acc_dtype(x.dtype)
+    eps = jnp.asarray(1e-12, ad)
+    nk_h = jnp.maximum(_safe_norm(
+        jnp.einsum("bnlhc,bnlhc->bnhc", kh, kh,
+                   preferred_element_type=ad)), eps)
 
-    def hist_tokens(m):
-        # '(b nf) (head c) h w -> b head (nf c) (h w)' — frame-major token
-        # blocks (turtle_arch.py:575-578)
-        t = m.reshape(b, nf, h * w, heads, ctok)
-        return t.transpose(0, 3, 1, 4, 2).reshape(b, heads, nf * ctok, h * w)
+    # FHR projections of the current frame (ChanAttn, turtle_arch.py:583)
+    ca = params["ChanAttn"]
+    qkv = _conv(ca["qkv_dwconv"], _conv(ca["qkv"], x), padding=1)
+    qkv = qkv.reshape(b, l, 3, heads, ctok)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-    k_hist = l2_normalize(hist_tokens(k_), axis=-1)
-    v_hist = hist_tokens(v_)
-    hist_valid = jnp.repeat(fvalid, ctok)
+    def norms(t):
+        return jnp.maximum(_safe_norm(
+            jnp.einsum("blhc,blhc->bhc", t, t,
+                       preferred_element_type=ad)), eps)
 
-    out, _, _ = _fhr_attend(params["ChanAttn"], x, heads, k_hist, v_hist,
-                            hist_valid)
+    nq, nk = norms(q), norms(k)
+
+    gh = jnp.einsum("blhc,bnlhd->bhcnd", q, kh, preferred_element_type=ad)
+    gh = gh / (nq[:, :, :, None, None]
+               * nk_h.transpose(0, 2, 1, 3)[:, :, None])
+    gh = gh.reshape(b, heads, ctok, nf * ctok)  # frame-major token order
+    g = jnp.einsum("blhc,blhd->bhcd", q, k, preferred_element_type=ad)
+    g = g / (nq[:, :, :, None] * nk[:, :, None, :])
+
+    scores = jnp.concatenate([gh, g], axis=-1)
+    valid = jnp.concatenate(
+        [jnp.repeat(fvalid, ctok), jnp.ones((ctok,), bool)])[None, None,
+                                                             None, :]
+    temp = ca["temperature"].astype(ad)[None]
+    attn = masked_softmax(scores * temp, valid).astype(x.dtype)
+
+    a_h = attn[..., :nf * ctok].reshape(b, heads, ctok, nf, ctok)
+    a_c = attn[..., nf * ctok:]
+    out = jnp.einsum("bhcnd,bnlhd->blhc", a_h, vh, preferred_element_type=ad)
+    out = out + jnp.einsum("bhcd,blhd->blhc", a_c, v,
+                           preferred_element_type=ad)
+    out = out.astype(x.dtype).reshape(b, h, w, c)
+    out = _conv(ca["project_out"], out)
     return out, new_slot
 
 
