@@ -1,0 +1,33 @@
+"""Full-model equivalence: kernels='pallas' (interpret mode on CPU) vs the
+XLA path, in float32."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from turtlevsr_tpu.config.options import model_config_from_options
+from turtlevsr_tpu.models.turtle import forward, init_cache, init_params
+
+from reference_oracle import tiny_opt
+
+
+def test_pallas_model_matches_xla():
+    opt = tiny_opt("Turtle_t1_arch")
+    cfg_x = model_config_from_options(opt)
+    cfg_p = dataclasses.replace(cfg_x, kernels="pallas")
+    params = init_params(jax.random.PRNGKey(0), cfg_x, dtype=jnp.float32)
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(3, 1, 64, 64, 3).astype(np.float32)
+    cache_x = init_cache(cfg_x, 1, 64, 64, dtype=jnp.float32)
+    cache_p = init_cache(cfg_p, 1, 64, 64, dtype=jnp.float32)
+    prev = frames[0]
+    for t in range(3):
+        x = jnp.asarray(np.stack([prev, frames[t]], axis=1))
+        out_x, cache_x = forward(params, cfg_x, x, cache_x)
+        out_p, cache_p = forward(params, cfg_p, x, cache_p)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                                   atol=3e-6, err_msg=f"frame {t}")
+        prev = frames[t]

@@ -161,6 +161,12 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
             acc = acc + bias_map
         return acc
 
+    if mode == "linear":
+        # projection-only: out = dw3x3(pw1(LN(x))) — the qkv/kv/v front of
+        # the attention blocks
+        out_ref[0] = dw_half(w1_a, wd9_a, sv_a).astype(out_ref.dtype)
+        return
+
     if mode == "gate":
         hdb = dw_half(w1_b, wd9_b, sv_b)
         act = _gelu_exact(dw_half(w1_a, wd9_a, sv_a)) * hdb
@@ -223,9 +229,19 @@ def ffn_pallas_supported(h: int, w: int, c: int, e_dim: int,
     return True
 
 
-def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
-                    w2, b2=None, scale=None, mode: str, residual: bool = True,
+def fused_ln_qkv_dw(x, *, ln_w=None, ln_b=None, w1, b1=None, wd, bd=None,
                     interpret: bool = False):
+    """dw3x3(pw(LN(x))) in one pass — the qkv/kv/v projection front of the
+    attention blocks (turtle_arch.py:238-239 etc.). Returns the (B,H,W,CH)
+    hidden map."""
+    return fused_block_ffn(x, ln_w=ln_w, ln_b=ln_b, w1=w1, b1=b1, wd=wd,
+                           bd=bd, w2=None, mode="linear", residual=False,
+                           interpret=interpret)
+
+
+def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
+                    w2=None, b2=None, scale=None, mode: str,
+                    residual: bool = True, interpret: bool = False):
     """Apply the fused FFN chain to NHWC ``x`` (see module docstring).
 
     w1: (C, CH); wd/bd: (3, 3, CH) or None (no dwconv); w2: (E, C) with
@@ -242,8 +258,9 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
                ln_b if ln_b is not None else zeros((c,)))
     b1f = b1 if b1 is not None else zeros((ch,))
     e_dim = ch // 2 if mode == "gate" else ch
-    b2a = b2 if b2 is not None else zeros((c,))
-    sc = scale if scale is not None else jnp.ones((c,), dt)
+    out_c = ch if mode == "linear" else c
+    b2a = b2 if b2 is not None else zeros((out_c,))
+    sc = scale if scale is not None else jnp.ones((out_c,), dt)
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
 
     xf = x.reshape(b, h * w, c)
@@ -323,7 +340,8 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
     mt = jnp.asarray((row == 0).astype(np.float32)[:, None])
     mb = jnp.asarray((row == s_rows - 1).astype(np.float32)[:, None])
 
-    args += [w2, b2a, sc, cml_x, cmr_x, ml, mr, mt, mb]
+    w2a = w2 if w2 is not None else zeros((1, out_c))
+    args += [w2a, b2a, sc, cml_x, cmr_x, ml, mr, mt, mb]
 
     grid = (b, h // s_rows)
     kernel = functools.partial(
@@ -347,9 +365,9 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
                                         0),
                          memory_space=pltpu.VMEM),
         ] + [vmem()] * (2 + len(args)),
-        out_specs=pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
+        out_specs=pl.BlockSpec((1, sw, out_c), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), dt),
+        out_shape=jax.ShapeDtypeStruct((b, h * w, out_c), dt),
         scratch_shapes=[
             pltpu.VMEM((n, c), jnp.float32),      # LN(x) with halo rows
             pltpu.VMEM((n, e_dim), jnp.float32),  # pw1 hidden (rollable)
@@ -357,4 +375,4 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(xf, xf, xf, *ln_args, *args).reshape(b, h, w, c)
+    )(xf, xf, xf, *ln_args, *args).reshape(b, h, w, out_c)

@@ -140,6 +140,37 @@ def reduced_attn_apply(params, x):
     return y * params["beta"].astype(y.dtype), None
 
 
+def _proj_dw(params, names, x, ln, spec):
+    """pw1x1 + dw3x3 projection, optionally preceded by channel LN.
+
+    With kernels == 'pallas' (and a supported shape) this is ONE fused
+    Pallas pass (kernels/ffn.py fused_ln_qkv_dw); otherwise layer_norm +
+    two convs via XLA."""
+    pw, dw = params[names[0]], params[names[1]]
+    c = x.shape[-1]
+    ch = pw["weight"].shape[-1]
+    if spec is not None and spec.kernels == "pallas":
+        from turtlevsr_tpu.kernels.ffn import (
+            ffn_pallas_supported, fused_ln_qkv_dw)
+
+        h, w = x.shape[1], x.shape[2]
+        if ffn_pallas_supported(h, w, c, ch, True):
+            return fused_ln_qkv_dw(
+                x,
+                ln_w=ln[0] if ln else None,
+                ln_b=ln[1] if ln else None,
+                w1=pw["weight"].reshape(c, ch), b1=pw.get("bias"),
+                wd=dw["weight"].reshape(3, 3, ch), bd=dw.get("bias"),
+                interpret=_pallas_interpret())
+    xn = layer_norm(x, ln[0], ln[1]) if ln else x
+    return _conv(dw, _conv(pw, xn), padding=1)
+
+
+def _ln_args(params, key):
+    body = params[key]["body"]
+    return (body["weight"], body.get("bias"))
+
+
 def _channel_tokens(x, heads: int):
     """NHWC (B,h,w,C) -> channel tokens (B, heads, C//heads, h*w).
 
@@ -180,7 +211,7 @@ def fhr_init(key, dim: int, heads: int, bias: bool, dtype=jnp.float32) -> dict:
 
 
 def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
-                hist_valid=None):
+                hist_valid=None, ln=None, spec=None):
     """Core of FHR/ChannelAttention: channel-token cross attention of the
     current frame over [history ‖ current] keys/values.
 
@@ -202,8 +233,7 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
     b, h, w, c = x.shape
     l = h * w
     ctok = c // heads
-    qkv = _conv(params["qkv"], x)
-    qkv = _conv(params["qkv_dwconv"], qkv, padding=1)
+    qkv = _proj_dw(params, ("qkv", "qkv_dwconv"), x, ln, spec)
     qkv = qkv.reshape(b, l, 3, heads, ctok)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, heads, ctok)
 
@@ -261,22 +291,23 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
     return out, k_cache, v_cache
 
 
-def channel_attention_apply(params, x, heads: int):
-    out, _, _ = _fhr_attend(params, x, heads)
+def channel_attention_apply(params, x, heads: int, ln=None, spec=None):
+    out, _, _ = _fhr_attend(params, x, heads, ln=ln, spec=spec)
     return out, None
 
 
-def fhr_apply(params, x, heads: int, slot: Optional[dict]):
+def fhr_apply(params, x, heads: int, slot: Optional[dict], ln=None,
+              spec=None):
     """Standalone FHR with its ring-buffer slot (latent blocks)."""
     if slot is not None:
         ctok = x.shape[-1] // heads
         n_frames = slot["k"].shape[2] // ctok
         hist_valid = token_valid_mask(slot["n"], n_frames, ctok)
         out, k, v = _fhr_attend(params, x, heads, slot["k"], slot["v"],
-                                hist_valid)
+                                hist_valid, ln=ln, spec=spec)
         new_slot = fhr_slot_append(slot, k, v)
     else:
-        out, k, v = _fhr_attend(params, x, heads)
+        out, k, v = _fhr_attend(params, x, heads, ln=ln, spec=spec)
         new_slot = None
     return out, new_slot
 
@@ -343,7 +374,8 @@ def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int):
     return maps * fvalid.astype(maps.dtype)[None, :, None, None, None]
 
 
-def sab_t1_apply(params, x, ws: int, slot: Optional[dict]):
+def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
+                 spec=None):
     """t1 semantics (the LAST forward def wins — turtle_t1_arch.py:548-610):
     q,k re-projected through stride-ws depthwise convs into per-window tokens
     of dim 2c; v is lattice-windowed raw; sparsity = top-5 + L1<=4 local mask
@@ -352,9 +384,9 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict]):
     Returns (aligned frames (B, NF, h, w, c), frame_valid (NF,), new_slot).
     """
     b, h, w, c = x.shape
-    qk = _conv(params["qk_dwconv"], _conv(params["qk"], x), padding=1)
+    qk = _proj_dw(params, ("qk", "qk_dwconv"), x, ln, spec)
     q_, k_ = jnp.split(qk, 2, axis=-1)
-    v_map = _conv(params["v_dwconv"], _conv(params["v"], x), padding=1)
+    v_map = _proj_dw(params, ("v", "v_dwconv"), x, ln, spec)
 
     # window-strided depthwise projections: kernel=stride=ws, padding=1
     # (turtle_t1_arch.py:306-308)
@@ -399,7 +431,8 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict]):
     return _sab_finish(params, out_tok, fvalid, ws, h, w), fvalid, new_slot
 
 
-def sab_t0_apply(params, x, ws: int, slot: Optional[dict]):
+def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
+                 spec=None):
     """t0 semantics (turtle_arch.py:459-533). The attention scores are
     computed and then DISCARDED by ``out = v`` (:523, SURVEY.md quirk Q1), so
     the aligned output is just the lattice-windowed V of [history ‖ current]
@@ -407,10 +440,12 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict]):
     windowed K/V caches are produced (K feeds the next frame's equally-dead
     attention, kept for cache-shape parity)."""
     b, h, w, c = x.shape
+    if ln is not None:
+        x = layer_norm(x, ln[0], ln[1])
     pos = posenc2d(c, h, w, x.dtype)[None]
     qk = _conv(params["qk_dwconv"], _conv(params["qk"], x + pos), padding=1)
     _, k_ = jnp.split(qk, 2, axis=-1)
-    v_map = _conv(params["v_dwconv"], _conv(params["v"], x), padding=1)
+    v_map = _proj_dw(params, ("v", "v_dwconv"), x, None, spec)
 
     k = l2_normalize(_lattice_split(k_, ws), axis=-1)
     v = _lattice_split(v_map, ws)
@@ -454,7 +489,7 @@ def _safe_norm(ss):
 
 
 def chm_apply(params, x, heads: int, ws: int, variant: str,
-              slot: Optional[dict]):
+              slot: Optional[dict], ln=None, spec=None):
     """turtle_arch.py:535-585: aligned = SAB(x, cache); K,V embeddings of all
     aligned frames (frame-major channel tokens); FHR cross-attends the
     current frame over them. The returned cache is SAB's.
@@ -467,11 +502,12 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
     l = h * w
     ctok = c // heads
     sab = sab_t0_apply if variant == "t0" else sab_t1_apply
-    x_sp, fvalid, new_slot = sab(params["spatial_aligner"], x, ws, slot)
+    x_sp, fvalid, new_slot = sab(params["spatial_aligner"], x, ws, slot,
+                                 ln=ln, spec=spec)
     nf = x_sp.shape[1]
 
     xs = x_sp.reshape(b * nf, h, w, c)
-    kv = _conv(params["kv_dwconv"], _conv(params["kv"], xs), padding=1)
+    kv = _proj_dw(params, ("kv", "kv_dwconv"), xs, None, spec)
     kv = kv.reshape(b, nf, l, 2, heads, ctok)
     kh, vh = kv[:, :, :, 0], kv[:, :, :, 1]  # (B, NF, L, heads, ctok)
 
@@ -483,7 +519,7 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
 
     # FHR projections of the current frame (ChanAttn, turtle_arch.py:583)
     ca = params["ChanAttn"]
-    qkv = _conv(ca["qkv_dwconv"], _conv(ca["qkv"], x), padding=1)
+    qkv = _proj_dw(ca, ("qkv", "qkv_dwconv"), x, ln, spec)
     qkv = qkv.reshape(b, l, 3, heads, ctok)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -622,17 +658,23 @@ def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
         x = _fused_reduced_attn_half(params, x, spec)
         new_slot = None
     else:
-        xn = _ln(params["norm1"], x)
+        # the attention funcs take the RAW x plus the norm1 affine so the
+        # LN can fuse into their projection kernels
+        ln = _ln_args(params, "norm1")
         if t == "Channel":
-            a, new_slot = channel_attention_apply(params["attn"], xn,
-                                                  spec.num_heads)
+            a, new_slot = channel_attention_apply(params["attn"], x,
+                                                  spec.num_heads, ln=ln,
+                                                  spec=spec)
         elif t == "ReducedAttn":
-            a, new_slot = reduced_attn_apply(params["attn"], xn)
+            a, new_slot = reduced_attn_apply(params["attn"],
+                                             _ln(params["norm1"], x))
         elif t == "FHR":
-            a, new_slot = fhr_apply(params["attn"], xn, spec.num_heads, slot)
+            a, new_slot = fhr_apply(params["attn"], x, spec.num_heads, slot,
+                                    ln=ln, spec=spec)
         elif t == "CHM":
-            a, new_slot = chm_apply(params["attn"], xn, spec.num_heads,
-                                    spec.window_size, spec.variant, slot)
+            a, new_slot = chm_apply(params["attn"], x, spec.num_heads,
+                                    spec.window_size, spec.variant, slot,
+                                    ln=ln, spec=spec)
         else:
             raise ValueError(t)
         x = x + a
