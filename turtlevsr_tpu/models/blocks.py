@@ -419,13 +419,25 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     temp = params["temperature"].astype(ad).reshape(())
     attn = jnp.einsum("bqd,bnkd->bnqk", q, k_all,
                       preferred_element_type=ad) * temp
-    # run the sparsity chain (top-5 rounds, local mask, combine) in the
-    # compute dtype — several full passes over the (NF, HW, HW) score
-    # tensor; softmax accumulates in fp32 regardless
+    # sparsity chain (top-5 + local mask + clipped softmax): one fused
+    # Pallas pass when available, else the jnp ops
     attn = attn.astype(x.dtype)
-    attn1 = topk_keep(attn, 5)
-    attn2 = attn * local_window_mask(hq, wq, 4, attn.dtype)[None, None]
-    a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
+    lm = local_window_mask(hq, wq, 4, attn.dtype)
+    bsz, nf_all, hw, _ = attn.shape
+    use_fused = False
+    if spec is not None and spec.kernels == "pallas":
+        from turtlevsr_tpu.kernels.sab import (
+            sab_sparse_softmax, sab_sparse_softmax_supported)
+
+        use_fused = sab_sparse_softmax_supported(hw, hw)
+    if use_fused:
+        a = sab_sparse_softmax(attn.reshape(bsz * nf_all, hw, hw), lm,
+                               interpret=_pallas_interpret())
+        a = a.reshape(bsz, nf_all, hw, hw)
+    else:
+        attn1 = topk_keep(attn, 5)
+        attn2 = attn * lm[None, None]
+        a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
     out_tok = jnp.einsum("bnqk,bnkd->bnqd", a.astype(v_all.dtype), v_all,
                          preferred_element_type=ad).astype(x.dtype)
     return _sab_finish(params, out_tok, fvalid, ws, h, w), fvalid, new_slot
