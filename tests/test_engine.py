@@ -95,3 +95,56 @@ def test_whole_engine_runs_and_is_stateful():
     assert o1.shape == fr.shape
     assert np.isfinite(o1).all() and np.isfinite(o2).all()
     assert np.abs(o1 - o2).max() > 0  # the cache changed the output
+
+
+def test_tiled_engine_matches_reference_protocol_t0():
+    opt = tiny_opt("Turtle_arch")
+    ref = build_reference_model(opt)
+    cfg = model_config_from_options(opt)
+    params = params_from_torch_state_dict(ref.state_dict(), dtype=jnp.float64)
+
+    rng = np.random.RandomState(7)
+    frames = [rng.rand(72, 88, 3) for _ in range(3)]
+    want = _reference_tiled(ref, frames, tile=48, tile_overlap=16)
+    eng = InferenceEngine(cfg, params, mode="tiled", tile=48, tile_overlap=16,
+                          dtype=jnp.float64)
+    for t, fr in enumerate(frames):
+        got = eng.step(fr.astype(np.float32))
+        np.testing.assert_allclose(got, want[t], atol=1e-6,
+                                   err_msg=f"frame {t}")
+
+
+def test_whole_engine_sr_matches_reference_protocol():
+    """SR whole-frame protocol (inference.py:296-311): inputs bicubic /4,
+    model upsamples x4, output cropped to the HR size."""
+    opt = tiny_opt("Turtlesuper_t1_arch")
+    ref = build_reference_model(opt)
+    cfg = model_config_from_options(opt)
+    params = params_from_torch_state_dict(ref.state_dict(), dtype=jnp.float64)
+
+    rng = np.random.RandomState(9)
+    frames = [rng.rand(64, 64, 3) for _ in range(2)]
+
+    outs = []
+    k_cache = v_cache = None
+    prev = None
+    with torch.no_grad(), _KeepF64():
+        for fr in frames:
+            cur = torch.from_numpy(fr).permute(2, 0, 1)[None]
+            if prev is None:
+                prev = cur
+            p4 = torch.nn.functional.interpolate(prev, scale_factor=0.25,
+                                                 mode="bicubic")
+            c4 = torch.nn.functional.interpolate(cur, scale_factor=0.25,
+                                                 mode="bicubic")
+            x = torch.concat([p4.unsqueeze(1), c4.unsqueeze(1)], dim=1)
+            out, k_cache, v_cache = ref(x, k_cache, v_cache)
+            h, w = fr.shape[:2]
+            outs.append(out[0, :, :h, :w].numpy().transpose(1, 2, 0))
+            prev = cur
+
+    eng = InferenceEngine(cfg, params, mode="whole", dtype=jnp.float64)
+    for t, fr in enumerate(frames):
+        got = eng.step(fr.astype(np.float32))
+        np.testing.assert_allclose(got, outs[t], atol=1e-6,
+                                   err_msg=f"frame {t}")

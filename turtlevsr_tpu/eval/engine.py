@@ -78,13 +78,18 @@ class InferenceEngine:
 
     def __init__(self, cfg: ModelConfig, params, *, mode: str = "whole",
                  tile: int = 320, tile_overlap: int = 128,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — in tiled
+        mode the tile batch (and every per-tile cache) shards across it, so
+        one frame's tile grid runs on all chips in parallel (the spatial
+        CP-analog of SURVEY.md §2.6; requires n_tiles % n_devices == 0)."""
         assert mode in ("whole", "tiled")
         self.cfg = cfg
         self.mode = mode
         self.tile = tile
         self.tile_overlap = tile_overlap
         self.dtype = dtype
+        self.mesh = mesh
         self.params = jax.tree.map(
             lambda p: p.astype(dtype)
             if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
@@ -102,8 +107,8 @@ class InferenceEngine:
         """Restore one HWC [0,1] frame, advancing the causal history."""
         h, w, _ = frame.shape
         if self._shape != (h, w):
-            self._build(h, w)
             self._shape = (h, w)
+            self._build(h, w)
             self.reset()
         cur = jnp.asarray(frame, self.dtype)[None]  # (1, H, W, C)
         prev = cur if self._prev is None else self._prev
@@ -193,4 +198,26 @@ class InferenceEngine:
             restored = jnp.clip(e / wgt, 0.0, 1.0)
             return restored[None, :h, :w, :].astype(cur.dtype), cache
 
-        self._step_fn = jax.jit(step, donate_argnums=(3,))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_tiles = len(his) * len(wis)
+            ndev = self.mesh.devices.size
+            assert n_tiles % ndev == 0, (
+                f"{n_tiles} tiles not divisible over {ndev} devices")
+            repl = NamedSharding(self.mesh, P())
+
+            def cache_sh(x):
+                if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_tiles:
+                    return NamedSharding(self.mesh, P("data"))
+                return repl
+
+            cache0 = self._fresh_cache()
+            cache_shardings = jax.tree.map(cache_sh, cache0)
+            self._step_fn = jax.jit(
+                step,
+                in_shardings=(repl, repl, repl, cache_shardings),
+                out_shardings=(repl, cache_shardings),
+                donate_argnums=(3,))
+        else:
+            self._step_fn = jax.jit(step, donate_argnums=(3,))
