@@ -375,7 +375,7 @@ def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int):
 
 
 def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
-                 spec=None):
+                 spec=None, pre=None):
     """t1 semantics (the LAST forward def wins — turtle_t1_arch.py:548-610):
     q,k re-projected through stride-ws depthwise convs into per-window tokens
     of dim 2c; v is lattice-windowed raw; sparsity = top-5 + L1<=4 local mask
@@ -384,9 +384,12 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     Returns (aligned frames (B, NF, h, w, c), frame_valid (NF,), new_slot).
     """
     b, h, w, c = x.shape
-    qk = _proj_dw(params, ("qk", "qk_dwconv"), x, ln, spec)
+    if pre is not None:  # projections already computed (merged CHM call)
+        qk, v_map = pre
+    else:
+        qk = _proj_dw(params, ("qk", "qk_dwconv"), x, ln, spec)
+        v_map = _proj_dw(params, ("v", "v_dwconv"), x, ln, spec)
     q_, k_ = jnp.split(qk, 2, axis=-1)
-    v_map = _proj_dw(params, ("v", "v_dwconv"), x, ln, spec)
 
     # window-strided depthwise projections: kernel=stride=ws, padding=1
     # (turtle_t1_arch.py:306-308)
@@ -444,7 +447,7 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
 
 
 def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
-                 spec=None):
+                 spec=None, pre=None):
     """t0 semantics (turtle_arch.py:459-533). The attention scores are
     computed and then DISCARDED by ``out = v`` (:523, SURVEY.md quirk Q1), so
     the aligned output is just the lattice-windowed V of [history ‖ current]
@@ -513,9 +516,14 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
     b, h, w, c = x.shape
     l = h * w
     ctok = c // heads
+
+    # note: merging SAB's qk/v and ChanAttn's qkv into one 6c fused call
+    # was tried and measured SLOWER (the larger hidden width shrinks the
+    # kernel's row strips); separate calls win
+    sab_pre = qkv_pre = None
     sab = sab_t0_apply if variant == "t0" else sab_t1_apply
     x_sp, fvalid, new_slot = sab(params["spatial_aligner"], x, ws, slot,
-                                 ln=ln, spec=spec)
+                                 ln=ln, spec=spec, pre=sab_pre)
     nf = x_sp.shape[1]
 
     xs = x_sp.reshape(b * nf, h, w, c)
@@ -531,7 +539,8 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
 
     # FHR projections of the current frame (ChanAttn, turtle_arch.py:583)
     ca = params["ChanAttn"]
-    qkv = _proj_dw(ca, ("qkv", "qkv_dwconv"), x, ln, spec)
+    qkv = qkv_pre if qkv_pre is not None else _proj_dw(
+        ca, ("qkv", "qkv_dwconv"), x, ln, spec)
     qkv = qkv.reshape(b, l, 3, heads, ctok)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
