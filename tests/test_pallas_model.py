@@ -31,3 +31,31 @@ def test_pallas_model_matches_xla():
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                    atol=3e-6, err_msg=f"frame {t}")
         prev = frames[t]
+
+
+def test_pallas_gradients_match_xla():
+    """The custom-VJP pallas path must produce the same gradients as the
+    differentiable XLA path."""
+    from turtlevsr_tpu.train.step import clip_loss_fn
+
+    opt = tiny_opt("Turtle_t1_arch")
+    cfg_x = model_config_from_options(opt)
+    cfg_p = dataclasses.replace(cfg_x, kernels="pallas")
+    params = init_params(jax.random.PRNGKey(1), cfg_x, dtype=jnp.float32)
+    rng = np.random.RandomState(1)
+    lq = jnp.asarray(rng.rand(1, 2, 64, 64, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(1, 2, 64, 64, 3), jnp.float32)
+
+    def loss(cfg):
+        return jax.grad(clip_loss_fn)(params, cfg, lq, gt,
+                                      compute_dtype=jnp.float32, remat=True)
+
+    gx = loss(cfg_x)
+    gp = loss(cfg_p)
+    for (kx, vx), (kp, vp) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(gx)[0],
+                   key=lambda t: str(t[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(gp)[0],
+                   key=lambda t: str(t[0]))):
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(vx), atol=1e-5,
+                                   err_msg=str(kx))

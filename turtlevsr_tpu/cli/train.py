@@ -144,6 +144,15 @@ def main():
     logger.info(f"Model [{cfg.variant}] params: {n_params / 1e6:.2f} M; "
                 f"mesh: {n_dev} device(s)")
 
+    # warm-start from a pretrained network (path.pretrain_network_g, used by
+    # the reference for fine-tuning; accepts .pth or orbax params dirs)
+    pretrain = (opt.get("path") or {}).get("pretrain_network_g")
+    if pretrain and str(pretrain) not in ("~", "None") and resume_step is None:
+        from turtlevsr_tpu.io.checkpoint import restore_params
+
+        params = restore_params(str(pretrain), target=params)
+        logger.info(f"load_model {pretrain}")
+
     state = TrainState.create(params, tx)
     start_iter = 0
     if resume_step is not None:
@@ -160,7 +169,9 @@ def main():
     batch_per_dev = int(dataset_opt.get("batch_size_per_gpu", 2))
     batch = batch_per_dev * n_dev
     enlarge = int(dataset_opt.get("dataset_enlarge_ratio", 1))
-    sampler = EnlargedSampler(len(train_ds), 1, 0, ratio=enlarge)
+    # rank-strided sharding across hosts (EnlargedSampler semantics)
+    sampler = EnlargedSampler(len(train_ds), jax.process_count(),
+                              jax.process_index(), ratio=enlarge)
     workers = int(dataset_opt.get("num_worker_per_gpu", 2))
     loader = PrefetchLoader(train_ds, sampler, batch, num_workers=workers)
     logger.info(f"Training clips: {len(train_ds)}; batch: {batch} "
@@ -178,6 +189,9 @@ def main():
     logger_opt = opt.get("logger") or {}
     tb = None
     if logger_opt.get("use_tb_logger") and process_is_primary():
+        from turtlevsr_tpu.utils.logger import init_wandb_logger
+
+        init_wandb_logger(opt)  # wandb (if installed+configured) syncs TB
         tb = init_tb_logger(osp.join("tb_logger", opt["name"]))
     msg_logger = MessageLogger(opt, start_iter + 1, tb)
 

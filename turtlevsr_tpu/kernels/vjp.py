@@ -1,0 +1,127 @@
+"""Differentiable wrappers for the Pallas kernels.
+
+Forward runs the fused TPU kernel; backward is the VJP of the numerically
+identical XLA chain (the kernels are verified exact against it, so the
+gradients are exact too). Under the trainer's per-frame ``jax.checkpoint``
+this means the rematerialised forward also runs the fast kernel, while the
+backward math stays plain XLA — no hand-written kernel gradients needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from turtlevsr_tpu.kernels.ffn import fused_block_ffn, fused_ln_qkv_dw
+
+
+def _ln_xla(x, p, ln_mode):
+    if ln_mode == "none":
+        return x
+    from turtlevsr_tpu.ops.norm import layer_norm
+
+    return layer_norm(x, p["ln_w"], p.get("ln_b"))
+
+
+def _dwconv_xla(h, wd, bd):
+    from turtlevsr_tpu.ops.conv import conv2d
+
+    ch = h.shape[-1]
+    y = conv2d(h, wd.reshape(3, 3, 1, ch), bd, padding=1, groups=ch)
+    return y
+
+
+def _ffn_xla(x, p, mode, residual, ln_mode):
+    """The jnp reference of fused_block_ffn (see kernels/ffn.py)."""
+    xn = _ln_xla(x, p, ln_mode)
+    c = x.shape[-1]
+    h = jnp.einsum("bhwc,ce->bhwe", xn, p["w1"])
+    if p.get("b1") is not None:
+        h = h + p["b1"]
+    if p.get("wd") is not None:
+        h = _dwconv_xla(h, p["wd"], p.get("bd"))
+    if mode == "linear":
+        return h
+    if mode == "gate":
+        a, b = jnp.split(h, 2, axis=-1)
+        act = jax.nn.gelu(a, approximate=False) * b
+    else:
+        act = jax.nn.gelu(h, approximate=False)
+    out = jnp.einsum("bhwe,ec->bhwc", act, p["w2"])
+    if p.get("b2") is not None:
+        out = out + p["b2"]
+    if p.get("scale") is not None:
+        out = out * p["scale"]
+    if residual:
+        out = out + x
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def ffn_op(x, p, statics):
+    mode, residual, ln_mode, interpret = statics
+    kw = dict(ln_w=p.get("ln_w"), ln_b=p.get("ln_b"), w1=p["w1"],
+              b1=p.get("b1"), wd=p.get("wd"), bd=p.get("bd"),
+              w2=p.get("w2"), b2=p.get("b2"), scale=p.get("scale"))
+    if mode == "linear":
+        return fused_ln_qkv_dw(x, ln_w=kw["ln_w"], ln_b=kw["ln_b"],
+                               w1=kw["w1"], b1=kw["b1"], wd=kw["wd"],
+                               bd=kw["bd"], interpret=interpret)
+    return fused_block_ffn(x, mode=mode, residual=residual,
+                           interpret=interpret, **kw)
+
+
+def _ffn_fwd(x, p, statics):
+    return ffn_op(x, p, statics), (x, p)
+
+
+def _ffn_bwd(statics, res, g):
+    mode, residual, ln_mode, _ = statics
+    x, p = res
+    _, vjp = jax.vjp(lambda x_, p_: _ffn_xla(x_, p_, mode, residual, ln_mode),
+                     x, p)
+    return vjp(g)
+
+
+ffn_op.defvjp(_ffn_fwd, _ffn_bwd)
+
+
+def call_fused_ffn(x, *, mode, residual=True, interpret=False, ln_w=None,
+                   ln_b=None, w1, b1=None, wd=None, bd=None, w2=None,
+                   b2=None, scale=None):
+    """Differentiable fused FFN/projection (drop-in for fused_block_ffn /
+    fused_ln_qkv_dw). Weight layout: w1 (C, CH), wd (3, 3, CH), w2 (E, C)."""
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    p = {k: v for k, v in dict(ln_w=ln_w, ln_b=ln_b, w1=w1, b1=b1, wd=wd,
+                               bd=bd, w2=w2, b2=b2, scale=scale).items()
+         if v is not None}
+    return ffn_op(x, p, (mode, residual, ln_mode, interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sab_softmax_op(scores, local_mask, interpret=False):
+    from turtlevsr_tpu.kernels.sab import sab_sparse_softmax
+
+    return sab_sparse_softmax(scores, local_mask, interpret=interpret)
+
+
+def _sab_xla(scores, local_mask):
+    from turtlevsr_tpu.ops.attn_utils import clipped_softmax, topk_keep
+
+    return clipped_softmax(topk_keep(scores, 5) + scores * local_mask[None])
+
+
+def _sab_fwd(scores, local_mask, interpret):
+    return sab_softmax_op(scores, local_mask, interpret), (scores, local_mask)
+
+
+def _sab_bwd(interpret, res, g):
+    scores, local_mask = res
+    _, vjp = jax.vjp(_sab_xla, scores, local_mask)
+    return vjp(g)
+
+
+sab_softmax_op.defvjp(_sab_fwd, _sab_bwd)

@@ -150,13 +150,13 @@ def _proj_dw(params, names, x, ln, spec):
     c = x.shape[-1]
     ch = pw["weight"].shape[-1]
     if spec is not None and spec.kernels == "pallas":
-        from turtlevsr_tpu.kernels.ffn import (
-            ffn_pallas_supported, fused_ln_qkv_dw)
+        from turtlevsr_tpu.kernels.ffn import ffn_pallas_supported
+        from turtlevsr_tpu.kernels.vjp import call_fused_ffn
 
         h, w = x.shape[1], x.shape[2]
         if ffn_pallas_supported(h, w, c, ch, True):
-            return fused_ln_qkv_dw(
-                x,
+            return call_fused_ffn(
+                x, mode="linear", residual=False,
                 ln_w=ln[0] if ln else None,
                 ln_b=ln[1] if ln else None,
                 w1=pw["weight"].reshape(c, ch), b1=pw.get("bias"),
@@ -429,13 +429,13 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     bsz, nf_all, hw, _ = attn.shape
     use_fused = False
     if spec is not None and spec.kernels == "pallas":
-        from turtlevsr_tpu.kernels.sab import (
-            sab_sparse_softmax, sab_sparse_softmax_supported)
+        from turtlevsr_tpu.kernels.sab import sab_sparse_softmax_supported
+        from turtlevsr_tpu.kernels.vjp import sab_softmax_op
 
         use_fused = sab_sparse_softmax_supported(hw, hw)
     if use_fused:
-        a = sab_sparse_softmax(attn.reshape(bsz * nf_all, hw, hw), lm,
-                               interpret=_pallas_interpret())
+        a = sab_softmax_op(attn.reshape(bsz * nf_all, hw, hw), lm,
+                           _pallas_interpret())
         a = a.reshape(bsz, nf_all, hw, hw)
     else:
         attn1 = topk_keep(attn, 5)
@@ -626,8 +626,9 @@ def _pallas_interpret() -> bool:
 
 
 def _fused_ffn_half(params, x, spec: BlockSpec):
-    """x + FFN(norm2(x)) as one fused Pallas pass (kernels/ffn.py)."""
-    from turtlevsr_tpu.kernels.ffn import fused_block_ffn
+    """x + FFN(norm2(x)) as one fused Pallas pass (kernels/ffn.py),
+    differentiable via kernels/vjp.py."""
+    from turtlevsr_tpu.kernels.vjp import call_fused_ffn as fused_block_ffn
 
     ln = params["norm2"]["body"]
     p = params["ffn"]
@@ -651,8 +652,9 @@ def _fused_ffn_half(params, x, spec: BlockSpec):
 
 
 def _fused_reduced_attn_half(params, x, spec: BlockSpec):
-    """x + ReducedAttn(norm1(x)) as one fused Pallas pass."""
-    from turtlevsr_tpu.kernels.ffn import fused_block_ffn
+    """x + ReducedAttn(norm1(x)) as one fused Pallas pass
+    (differentiable)."""
+    from turtlevsr_tpu.kernels.vjp import call_fused_ffn as fused_block_ffn
 
     ln = params["norm1"]["body"]
     p = params["attn"]

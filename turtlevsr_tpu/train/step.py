@@ -108,12 +108,8 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation, *,
     sharded over 'data' and the state replicated; XLA's SPMD partitioner
     emits the psum for gradients over ICI.
     """
-    import dataclasses
-
-    if cfg.kernels != "xla":
-        # the Pallas kernels are forward-only (no custom VJP yet); training
-        # always differentiates the XLA path, which is numerically the same
-        cfg = dataclasses.replace(cfg, kernels="xla")
+    # kernels='pallas' is differentiable via kernels/vjp.py (fused forward,
+    # XLA-chain backward) and safe to train with
 
     def step_fn(state: TrainState, lq, gt):
         loss, grads = jax.value_and_grad(clip_loss_fn)(

@@ -86,6 +86,25 @@ def init_tb_logger(log_dir: str):
     return SummaryWriter(log_dir=log_dir)
 
 
+def init_wandb_logger(opt: dict):
+    """W&B in TensorBoard-sync mode (logger.py:92-116); optional dep."""
+    try:
+        import wandb
+    except ImportError:
+        get_root_logger().warning("wandb is not installed; skipping "
+                                  "(TensorBoard logging is unaffected)")
+        return None
+    logger_opt = (opt.get("logger") or {}).get("wandb") or {}
+    project = logger_opt.get("project")
+    if not project:
+        return None
+    resume_id = logger_opt.get("resume_id")
+    kwargs = dict(id=resume_id, resume="allow") if resume_id else {}
+    wandb.init(project=project, name=opt["name"], config=opt,
+               sync_tensorboard=True, **kwargs)
+    return wandb
+
+
 def get_env_info() -> str:
     import jax
     import turtlevsr_tpu
