@@ -27,15 +27,35 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import sys
 import time
 from statistics import mean
 
 import numpy as np
 
 
+# per-task eval presets mirroring the reference's __main__ blocks
+# (inference.py:483-639): option file, tiling, metric flavour, noise
+TASK_PRESETS = {
+    "deblur": dict(opt="options/Turtle_Deblur_Gopro.yml", tile=320,
+                   tile_overlap=192),
+    "denoise": dict(opt="options/Turtle_Denoise_Davis.yml", tile=320,
+                    tile_overlap=128, noise_sigma=50.0),
+    "derain": dict(opt="options/Turtle_Derain.yml", tile=320,
+                   tile_overlap=128, y_channel=True),
+    "raindrop": dict(opt="options/Turtle_Derain_VRDS.yml", tile=320,
+                     tile_overlap=128),
+    "desnow": dict(opt="options/Turtle_Desnow.yml", tile=320,
+                   tile_overlap=128),
+    "sr": dict(opt="options/Turtle_SR_MVSR.yml", tile=256, tile_overlap=64),
+}
+
+
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("-opt", "--opt", required=True)
+    p.add_argument("--task", choices=sorted(TASK_PRESETS),
+                   help="fill option-file/tile/metric defaults for a task")
+    p.add_argument("-opt", "--opt", default=None)
     p.add_argument("--model_path", default=None,
                    help=".pth (reference) or orbax params dir; random init "
                         "if omitted (smoke testing)")
@@ -55,7 +75,20 @@ def parse_args():
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
     p.add_argument("--max_frames", type=int, default=0)
-    return p.parse_args()
+    args = p.parse_args()
+    if args.task:
+        preset = TASK_PRESETS[args.task]
+        if args.opt is None:
+            args.opt = preset["opt"]
+        if args.tile == 0 and "--tile" not in " ".join(sys.argv):
+            args.tile = preset.get("tile", 0)
+            args.tile_overlap = preset.get("tile_overlap", args.tile_overlap)
+        if args.noise_sigma is None:
+            args.noise_sigma = preset.get("noise_sigma")
+        args.y_channel = args.y_channel or preset.get("y_channel", False)
+    if args.opt is None:
+        p.error("either --task or -opt is required")
+    return args
 
 
 def main():

@@ -88,13 +88,13 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     """Strip program: S image rows per step + one halo row each side (the
     halo rows arrive as separate clamped row blocks).
 
-    The depthwise 3x3 is folded INTO the pointwise matmul via
-    (X @ W1) * wd_k == X @ (W1 ⊙ wd_k): the hidden map is the sum of 9 MXU
-    matmuls of shifted LN(x) against pre-scaled weights — no per-element
-    VPU tap arithmetic. Column shifts are two fp32 rolls of the small
-    (n, C) LN buffer (masked at the wrap); row shifts are aligned slices;
-    the dw/pw1 biases' boundary behaviour is reconstructed with outer-
-    product corrections (only when biases exist).
+    Per gate half: ONE pw1 MXU matmul into the fp32 hidden scratch (bias
+    excluded so zeroed border halos stay zero), then the depthwise 3x3 as
+    9 multiply-add taps — the ±W row taps are aligned slice reads, the ±1
+    column taps are two fp32 rolls masked at the row wrap. The pw1/dw
+    biases' boundary behaviour is reconstructed with outer-product
+    corrections (only when biases exist; the shipped configs have none on
+    these convs).
 
     rest layout: w1_a, wd9_a, (w1_b, wd9_b if gate), bias_vecs (9 or 18 if
     has_b1: s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/s_br per half), w2, b2,
@@ -284,7 +284,8 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, rows, c), dt),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_VMEM_LIMIT),
+                vmem_limit_bytes=_VMEM_LIMIT,
+                dimension_semantics=("parallel", "parallel")),
             interpret=interpret,
         )(xf, *ln_args, w1, b1f, w2, b2a, sc)
         return out.reshape(b, h, w, c)
@@ -373,6 +374,7 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
             pltpu.VMEM((n, e_dim), jnp.float32),  # pw1 hidden (rollable)
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(xf, xf, xf, *ln_args, *args).reshape(b, h, w, out_c)

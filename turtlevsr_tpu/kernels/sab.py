@@ -88,6 +88,8 @@ def sab_sparse_softmax(scores, local_mask, k_top: int = 5,
         out_specs=pl.BlockSpec((1, r, k), lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bn, q, k), scores.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(scores, local_mask[None])
