@@ -16,10 +16,9 @@ users can point this framework at their existing configs unchanged, but adds:
 
 from __future__ import annotations
 
-import copy
 import os
 from dataclasses import dataclass, field
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import yaml
 

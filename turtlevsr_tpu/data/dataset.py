@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import List, Optional, Sequence
+from typing import List
 
 import numpy as np
 

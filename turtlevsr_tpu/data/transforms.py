@@ -7,8 +7,6 @@ augmentation; 50% identity else one of modes 1-7) and data_util.py:17-35
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 

@@ -19,10 +19,9 @@ the gather/overlap-add runs inside the same jit.
 
 from __future__ import annotations
 
-import functools
 import glob
 import os
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 import jax

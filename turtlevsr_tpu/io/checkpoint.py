@@ -18,7 +18,6 @@ import re
 from typing import Optional
 
 import jax
-import numpy as np
 
 
 def _checkpointer():

@@ -8,8 +8,6 @@ dicts so a torch state_dict maps onto them 1:1 (see io/torch_convert.py).
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

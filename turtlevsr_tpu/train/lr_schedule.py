@@ -9,7 +9,6 @@ base_model.py:82-113) plus the linear warmup override
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Sequence
 
 import jax.numpy as jnp

@@ -16,8 +16,7 @@ backward (video_restoration_model.py:78-108). TPU-native translation:
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

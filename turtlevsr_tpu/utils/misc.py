@@ -6,8 +6,6 @@ import os
 import random
 import time
 from os import path as osp
-from typing import Optional
-
 import numpy as np
 
 
