@@ -80,3 +80,23 @@ def test_schedules_match_torch():
         got = float(sched(it - 1))
         np.testing.assert_allclose(got, want, rtol=1e-6,
                                    err_msg=f"iter {it}")
+
+
+def test_training_reduces_loss():
+    """End-to-end learning sanity: repeated steps on one batch must drive
+    the L1 loss down (catches optimizer/schedule/gradient wiring breaks)."""
+    cfg, tx, params = _setup()
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32, remat=True,
+                           donate=False)
+    state = TrainState.create(params, tx)
+    rng = np.random.RandomState(0)
+    lq = jnp.asarray(rng.rand(1, 2, 64, 64, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(1, 2, 64, 64, 3), jnp.float32)
+    losses = []
+    for _ in range(10):
+        state, logs = step(state, lq, gt)
+        losses.append(float(logs["l_pix"]))
+    # random targets aren't learnable to zero, but the loss must fall
+    # steadily under repeated steps on the same batch
+    assert losses[-1] < losses[0] - 5e-3, losses
+    assert all(b < a for a, b in zip(losses, losses[1:])), losses
