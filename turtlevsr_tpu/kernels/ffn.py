@@ -45,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 _LN_EPS = 1e-5
 # v5e exposes far more VMEM than the 16MB default scoped limit; the kernel
 # requests a raised limit and budgets well inside it
-_VMEM_BUDGET = 30 * 1024 * 1024
-_VMEM_LIMIT = 72 * 1024 * 1024
+_VMEM_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _erf(v):
