@@ -116,7 +116,8 @@ def workdir(tmp_path_factory):
 def _run(args, cwd):
     env = dict(os.environ,
                JAX_PLATFORMS="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
     # the sitecustomize pins axon; force cpu via a sitecustomize shim
     shim = os.path.join(cwd, "_forcecpu.py")
     if not os.path.exists(shim):

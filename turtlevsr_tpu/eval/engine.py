@@ -77,11 +77,16 @@ class InferenceEngine:
 
     def __init__(self, cfg: ModelConfig, params, *, mode: str = "whole",
                  tile: int = 320, tile_overlap: int = 128,
-                 dtype=jnp.bfloat16, mesh=None):
+                 dtype=jnp.bfloat16, mesh=None, max_tile_batch: int = 12):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — in tiled
         mode the tile batch (and every per-tile cache) shards across it, so
         one frame's tile grid runs on all chips in parallel (the spatial
-        CP-analog of SURVEY.md §2.6; requires n_tiles % n_devices == 0)."""
+        CP-analog of SURVEY.md §2.6; requires n_tiles % n_devices == 0).
+
+        max_tile_batch: on a single chip, big tile grids (720p at the
+        reference's tile 320 / overlap 192 is 45 tiles) exceed HBM if run as
+        one batch; the grid is processed in lax.map chunks of at most this
+        many tiles (caches stay device-resident throughout)."""
         assert mode in ("whole", "tiled")
         self.cfg = cfg
         self.mode = mode
@@ -89,6 +94,7 @@ class InferenceEngine:
         self.tile_overlap = tile_overlap
         self.dtype = dtype
         self.mesh = mesh
+        self.max_tile_batch = max_tile_batch
         self.params = jax.tree.map(
             lambda p: p.astype(dtype)
             if jnp.issubdtype(p.dtype, jnp.floating) else p, params)
@@ -129,6 +135,14 @@ class InferenceEngine:
         n_tiles, t = self._grid_size(h, w)
         tin = t // cfg.sr_scale if cfg.variant == "sr" else t
         return init_cache(cfg, n_tiles, tin, tin, dtype=self.dtype)
+
+    def _tile_chunk(self, n_tiles: int) -> int:
+        """Largest divisor of n_tiles within max_tile_batch (mesh mode runs
+        the full grid — chips share the batch)."""
+        if self.mesh is not None or n_tiles <= self.max_tile_batch:
+            return n_tiles
+        return max(d for d in range(1, self.max_tile_batch + 1)
+                   if n_tiles % d == 0)
 
     def _grid_size(self, h: int, w: int):
         hp, wp = _pad8(h, w)
@@ -183,7 +197,31 @@ class InferenceEngine:
                 tp = resize_bicubic(tp, ts, ts)
                 tc = resize_bicubic(tc, ts, ts)
             x = jnp.stack([tp, tc], axis=1)
-            outs, cache = forward(params, cfg, x, cache)  # (n_tiles, t, t, C)
+            n_tiles = x.shape[0]
+            chunk = self._tile_chunk(n_tiles)
+            if chunk == n_tiles:
+                outs, cache = forward(params, cfg, x, cache)
+            else:
+                # sequence the grid through lax.map chunks so one chunk's
+                # activations bound peak HBM (all caches stay on device)
+                nc = n_tiles // chunk
+
+                xs = x.reshape(nc, chunk, *x.shape[1:])
+                cache_c = jax.tree.map(
+                    lambda a: a.reshape(nc, chunk, *a.shape[1:])
+                    if getattr(a, "ndim", 0) and a.shape[0] == n_tiles
+                    else jnp.broadcast_to(a, (nc,) + a.shape), cache)
+
+                def one(chunk_args):
+                    xc, cc = chunk_args
+                    return forward(params, cfg, xc, cc)
+
+                outs_c, cache_c = jax.lax.map(one, (xs, cache_c))
+                outs = outs_c.reshape(n_tiles, *outs_c.shape[2:])
+                cache = jax.tree.map(
+                    lambda a: (a.reshape(n_tiles, *a.shape[2:])
+                               if a.ndim >= 2 and a.shape[0] == nc
+                               and a.shape[1] == chunk else a[0]), cache_c)
 
             e = jnp.zeros((hp, wp, cur.shape[-1]), jnp.float32)
             wgt = jnp.zeros((hp, wp, 1), jnp.float32)
