@@ -186,3 +186,25 @@ def test_video_cli_roundtrip(workdir, tmp_path):
     out = _run(["turtlevsr_tpu.cli.video", "compare", frames, outdir,
                 cmp_mp4], cwd=str(workdir))
     assert "wrote" in out
+
+
+def test_bench_cli_smoke(workdir):
+    yml = str(workdir / "tiny.yml")
+    out = _run(["turtlevsr_tpu.cli.bench", "-opt", yml, "--size", "64", "64",
+                "--iters", "3", "--warmup", "1", "--kernels", "xla",
+                "--dtype", "float32"], cwd=str(workdir))
+    assert "Params:" in out and "Overall fps:" in out
+
+
+def test_infer_task_preset(workdir, tmp_path):
+    # --task denoise: preset supplies noise synthesis + option file; point
+    # the option file path at the tiny config via cwd-relative options/
+    opts = tmp_path / "options"
+    opts.mkdir()
+    (opts / "Turtle_Denoise_Davis.yml").write_text(
+        TINY_YML.format(root=workdir / "data"))
+    data = str(workdir / "data" / "gt")
+    out = _run(["turtlevsr_tpu.cli.infer", "--task", "denoise",
+                "--data_dir", data, "--tile", "0", "--max_frames", "2",
+                "--kernels", "xla", "--dtype", "float32"], cwd=str(tmp_path))
+    assert "PSNR for video0:" in out  # GT = clean frames, inputs noised
