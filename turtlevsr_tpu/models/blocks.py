@@ -171,22 +171,6 @@ def _ln_args(params, key):
     return (body["weight"], body.get("bias"))
 
 
-def _channel_tokens(x, heads: int):
-    """NHWC (B,h,w,C) -> channel tokens (B, heads, C//heads, h*w).
-
-    Matches rearrange 'b (head c) h w -> b head c (h w)' (turtle_arch.py:263):
-    tokens are channels, the spatial extent is the feature axis.
-    """
-    b, h, w, c = x.shape
-    t = x.reshape(b, h * w, heads, c // heads)
-    return t.transpose(0, 2, 3, 1)
-
-
-def _channel_tokens_merge(t, h: int, w: int):
-    b, heads, ctok, l = t.shape
-    return t.transpose(0, 3, 1, 2).reshape(b, h, w, heads * ctok)
-
-
 def _qkv_proj_init(key, dim: int, bias: bool, heads: int, dtype) -> dict:
     k1, k2, k3 = jax.random.split(key, 3)
     return {
