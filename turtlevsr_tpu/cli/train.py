@@ -34,6 +34,10 @@ def parse_args():
     parser.add_argument("--kernels", choices=["xla", "pallas"], default=None)
     parser.add_argument("--max_iters", type=int, default=None,
                         help="override total_iter (smoke tests)")
+    parser.add_argument("--export_pth", type=str, default=None,
+                        help="export the newest checkpoint's params as a "
+                        "reference-format {'params': state_dict} .pth and "
+                        "exit (inverse of pretrain .pth loading)")
     return parser.parse_args()
 
 
@@ -121,6 +125,31 @@ def main():
     })
 
     resume_step = latest_checkpoint_step(exp_root)
+
+    if args.export_pth:
+        from turtlevsr_tpu.io.checkpoint import restore_params
+        from turtlevsr_tpu.io.torch_convert import save_torch_checkpoint
+
+        cfg = model_config_from_options(opt)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        if resume_step is not None:
+            state = TrainState.create(params,
+                                      make_optimizer(opt["train"],
+                                                     build_schedule(opt["train"])))
+            state = restore_checkpoint(exp_root, resume_step, state)
+            params = state.params
+            print(f"exporting iter {resume_step} params -> {args.export_pth}")
+        else:
+            pre = (opt.get("path") or {}).get("pretrain_network_g")
+            if not pre or str(pre) in ("~", "None"):
+                raise SystemExit("no checkpoint found under "
+                                 f"{exp_root}/training_states and no "
+                                 "pretrain_network_g to export")
+            params = restore_params(str(pre), target=params)
+            print(f"exporting {pre} params -> {args.export_pth}")
+        save_torch_checkpoint(args.export_pth, jax.device_get(params))
+        return
+
     if resume_step is None and process_is_primary():
         make_exp_dirs(opt)
     os.makedirs(exp_root, exist_ok=True)

@@ -71,3 +71,52 @@ def load_torch_checkpoint(path: str, param_key: str = "params",
     blob = torch.load(path, map_location="cpu", weights_only=True)
     state_dict = blob.get(param_key, blob) if isinstance(blob, dict) else blob
     return params_from_torch_state_dict(state_dict, dtype)
+
+
+def torch_state_dict_from_params(params: dict) -> Dict[str, "np.ndarray"]:
+    """Inverse of params_from_torch_state_dict: flatten a turtlevsr_tpu
+    parameter tree back to the reference's flat torch key space.
+
+    Key names match the reference modules exactly (the tree mirrors them),
+    so a .pth produced here loads into the torch reference with
+    ``strict=True`` (base_model.py:261-286). Transforms inverted:
+
+      * HWIO 4-D conv weights -> OIHW,
+      * (C,) ``gamma``/``beta`` scales -> (1, C, 1, 1),
+      * nested dicts -> dotted keys; ``transformer_blocks`` lists -> integer
+        segments.
+    """
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node, prefix):
+        if isinstance(node, list):
+            for i, item in enumerate(node):
+                walk(item, f"{prefix}.{i}")
+            return
+        if isinstance(node, dict):
+            for name, item in node.items():
+                walk(item, f"{prefix}.{name}" if prefix else name)
+            return
+        arr = np.asarray(node, dtype=np.float32)
+        leaf = prefix.rsplit(".", 1)[-1]
+        if leaf in ("gamma", "beta"):
+            arr = arr.reshape(1, -1, 1, 1)
+        elif leaf == "weight" and arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        flat[prefix] = arr
+
+    walk(params, "")
+    return flat
+
+
+def save_torch_checkpoint(path: str, params: dict,
+                          param_key: str = "params") -> None:
+    """Write ``{'params': state_dict}`` .pth exactly like the reference's
+    save_network (base_model.py:193-224), so TPU-trained weights can be
+    evaluated in / shipped back to the torch ecosystem."""
+    import torch
+
+    flat = torch_state_dict_from_params(params)
+    state_dict = {k: torch.from_numpy(np.array(v, copy=True))
+                  for k, v in flat.items()}
+    torch.save({param_key: state_dict}, path)
