@@ -180,6 +180,73 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
+                     w_img, e_dim, has_b1):
+    """Multi-output strip program: ONE LN pass over the strip, then N
+    independent pw1 + depthwise-3x3 projection chains, each written to its
+    own output (e.g. the q/k/v thirds of an attention projection, with the
+    pw/dw weights pre-split host-side so no in-kernel lane slicing is
+    needed). Same halo/mask machinery as _dw_kernel."""
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = rest[idx: idx + k]
+        idx += k
+        return out
+
+    projs = []
+    for _ in range(n_out):
+        w1, wd9 = take(2)
+        sv = take(9) if has_b1 else None
+        projs.append((w1, wd9, sv))
+    cml_x, cmr_x, ml, mr, mt, mb = take(6)
+    out_refs = rest[idx: idx + n_out]
+    xn_ref, h1_ref = rest[idx + n_out:]
+
+    i = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    w = w_img
+    sw = s_rows * w
+    n = sw + 2 * w
+
+    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
+    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
+    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
+    f0 = (i == 0).astype(jnp.float32)
+    fl = (i == last).astype(jnp.float32)
+    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
+    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+
+    cdt = xm.dtype
+    xn_cdt = xn_ref[:].astype(cdt)
+
+    for (w1h, wd9h, sv), out_ref in zip(projs, out_refs):
+        h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
+        acc = jnp.zeros((sw, e_dim), jnp.float32)
+        for dj in (-1, 0, 1):
+            if dj == -1:
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+            elif dj == 1:
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+            else:
+                base = h1_ref[:]
+            for di in (-1, 0, 1):
+                lo = w + di * w
+                k = (di + 1) * 3 + (dj + 1)
+                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
+        if sv is not None:
+            s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
+                v[:].astype(jnp.float32) for v in sv]
+            acc = acc + (s_all - ml[:] * s_l - mr[:] * s_r
+                         - f0 * mt[:] * s_t - fl * mb[:] * s_b
+                         + f0 * (mt[:] * ml[:]) * s_tl
+                         + f0 * (mt[:] * mr[:]) * s_tr
+                         + fl * (mb[:] * ml[:]) * s_bl
+                         + fl * (mb[:] * mr[:]) * s_br)
+        out_ref[0] = acc.astype(out_ref.dtype)
+
+
 def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
                ln_mode, residual):
     """No-dwconv variant (FFW): plain blocked rows, no halo."""
@@ -237,6 +304,125 @@ def fused_ln_qkv_dw(x, *, ln_w=None, ln_b=None, w1, b1=None, wd, bd=None,
     return fused_block_ffn(x, ln_w=ln_w, ln_b=ln_b, w1=w1, b1=b1, wd=wd,
                            bd=bd, w2=None, mode="linear", residual=False,
                            interpret=interpret)
+
+
+def split_proj_supported(h: int, w: int, c: int, e_dim: int,
+                         n_out: int) -> bool:
+    return w % 8 == 0 and _pick_strip_multi(h, w, c, e_dim, n_out) > 0
+
+
+def _strip_mem_multi(s: int, w: int, c: int, e: int, n_out: int) -> int:
+    n = (s + 2) * w
+    return (n * c * 6            # fp32 LN scratch + cast copy
+            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
+            + 2 * s * w * e * 4  # acc transients
+            + 4 * s * w * c * 2  # double-buffered main input blocks
+            + 2 * n_out * s * w * e * 2)  # double-buffered outputs
+
+
+def _pick_strip_multi(h: int, w: int, c: int, e: int, n_out: int) -> int:
+    best = 0
+    for s in range(1, min(h, 64) + 1):
+        if h % s == 0 and _strip_mem_multi(s, w, c, e, n_out) <= _VMEM_BUDGET:
+            best = s
+    return best
+
+
+def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
+                        interpret: bool = False):
+    """N independent dw3x3(pw(LN(x))) chains in ONE pass over ``x``.
+
+    projs: sequence of dicts {w1: (C, E), b1, wd: (3, 3, E), bd} — the
+    pre-split q/k/v (or q/k, k/v) heads of an attention projection. All E
+    must be equal. Returns a tuple of (B, H, W, E) arrays.
+
+    vs calling fused_ln_qkv_dw once on the concatenated weights: the outputs
+    arrive UNINTERLEAVED (no (B, L, 3, heads, ctok) slicing copies
+    downstream) and x / LN(x) are read/computed once for all N chains.
+    """
+    b, h, w, c = x.shape
+    n_out = len(projs)
+    e_dim = projs[0]["w1"].shape[1]
+    assert all(p["w1"].shape[1] == e_dim for p in projs)
+    dt = x.dtype
+    zeros = functools.partial(jnp.zeros, dtype=dt)
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    ln_args = (ln_w if ln_w is not None else zeros((c,)),
+               ln_b if ln_b is not None else zeros((c,)))
+    assert w % 8 == 0, "fused split-proj kernel needs W % 8 == 0"
+
+    has_b1 = any(p.get("b1") is not None or p.get("bd") is not None
+                 for p in projs)
+
+    args = []
+    for p in projs:
+        wd9 = p["wd"].reshape(9, e_dim).astype(jnp.float32)
+        args += [p["w1"], wd9]
+        if has_b1:
+            b1f = (p.get("b1") if p.get("b1") is not None
+                   else zeros((e_dim,))).astype(jnp.float32)
+            bdf = (p.get("bd") if p.get("bd") is not None
+                   else zeros((e_dim,))).astype(jnp.float32)
+            tb = wd9 * b1f[None, :]
+            args += [tb.sum(0) + bdf,
+                     tb[0] + tb[3] + tb[6], tb[2] + tb[5] + tb[8],
+                     tb[:3].sum(0), tb[6:].sum(0),
+                     tb[0], tb[2], tb[6], tb[8]]
+
+    s_rows = _pick_strip_multi(h, w, c, e_dim, n_out)
+    assert s_rows, "no feasible strip size; use the XLA path"
+    sw = s_rows * w
+    n = sw + 2 * w
+
+    arange_n = np.arange(n)
+    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
+    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
+    col = np.arange(sw) % w
+    row = np.arange(sw) // w
+    ml = jnp.asarray((col == 0).astype(np.float32)[:, None])
+    mr = jnp.asarray((col == w - 1).astype(np.float32)[:, None])
+    mt = jnp.asarray((row == 0).astype(np.float32)[:, None])
+    mb = jnp.asarray((row == s_rows - 1).astype(np.float32)[:, None])
+    args += [cml_x, cmr_x, ml, mr, mt, mb]
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    grid = (b, h // s_rows)
+    kernel = functools.partial(
+        _multi_dw_kernel, n_out=n_out, ln_mode=ln_mode, s_rows=s_rows,
+        w_img=w, e_dim=e_dim, has_b1=has_b1)
+    last_row = h - 1
+    s_ = s_rows
+    xf = x.reshape(b, h * w, c)
+    out_spec = pl.BlockSpec((1, sw, e_dim), lambda b_, i: (b_, i, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, w, c),
+                         lambda b_, i: (b_, jnp.maximum(i * s_ - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, c),
+                         lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
+                                        0),
+                         memory_space=pltpu.VMEM),
+        ] + [vmem()] * (2 + len(args)),
+        out_specs=tuple(out_spec for _ in range(n_out)),
+        out_shape=tuple(jax.ShapeDtypeStruct((b, h * w, e_dim), dt)
+                        for _ in range(n_out)),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((n, e_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(xf, xf, xf, *ln_args, *args)
+    return tuple(o.reshape(b, h, w, e_dim) for o in outs)
 
 
 def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,

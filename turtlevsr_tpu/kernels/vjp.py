@@ -101,6 +101,56 @@ def call_fused_ffn(x, *, mode, residual=True, interpret=False, ln_w=None,
     return ffn_op(x, p, (mode, residual, ln_mode, interpret))
 
 
+def _split_proj_xla(x, p, ln_mode):
+    """XLA reference of fused_ln_split_proj: one LN, N pw+dw chains."""
+    xn = _ln_xla(x, p, ln_mode)
+    outs = []
+    for proj in p["projs"]:
+        h = jnp.einsum("bhwc,ce->bhwe", xn, proj["w1"])
+        if proj.get("b1") is not None:
+            h = h + proj["b1"]
+        h = _dwconv_xla(h, proj["wd"], proj.get("bd"))
+        outs.append(h)
+    return tuple(outs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def split_proj_op(x, p, statics):
+    from turtlevsr_tpu.kernels.ffn import fused_ln_split_proj
+
+    ln_mode, interpret = statics
+    return fused_ln_split_proj(x, p["projs"], ln_w=p.get("ln_w"),
+                               ln_b=p.get("ln_b"), interpret=interpret)
+
+
+def _split_proj_fwd(x, p, statics):
+    return split_proj_op(x, p, statics), (x, p)
+
+
+def _split_proj_bwd(statics, res, g):
+    ln_mode, _ = statics
+    x, p = res
+    _, vjp = jax.vjp(lambda x_, p_: _split_proj_xla(x_, p_, ln_mode), x, p)
+    return vjp(g)
+
+
+split_proj_op.defvjp(_split_proj_fwd, _split_proj_bwd)
+
+
+def call_split_proj(x, projs, *, ln_w=None, ln_b=None, interpret=False):
+    """Differentiable fused multi-output projection (kernels/ffn.py
+    fused_ln_split_proj): N chains dw3x3(pw(LN(x))), one pass over x."""
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    p = {"projs": [
+        {k: v for k, v in pr.items() if v is not None} for pr in projs]}
+    if ln_w is not None:
+        p["ln_w"] = ln_w
+    if ln_b is not None:
+        p["ln_b"] = ln_b
+    return split_proj_op(x, p, (ln_mode, interpret))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def sab_softmax_op(scores, local_mask, interpret=False):
     from turtlevsr_tpu.kernels.sab import sab_sparse_softmax

