@@ -151,6 +151,37 @@ def call_split_proj(x, projs, *, ln_w=None, ln_b=None, interpret=False):
     return split_proj_op(x, p, (ln_mode, interpret))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sab_attn_probs_op(q, kt, local_mask, temp, interpret=False):
+    from turtlevsr_tpu.kernels.sab import sab_fused_attn_probs
+
+    return sab_fused_attn_probs(q, kt, local_mask, temp, interpret=interpret)
+
+
+def _sab_attn_probs_xla(q, kt, local_mask, temp):
+    from turtlevsr_tpu.ops.attn_utils import clipped_softmax, topk_keep
+
+    scores = jnp.einsum("bqd,bndk->bnqk", q, kt,
+                        preferred_element_type=jnp.float32)
+    scores = (scores * temp).astype(q.dtype)
+    return clipped_softmax(topk_keep(scores, 5)
+                           + scores * local_mask[None, None])
+
+
+def _sab_attn_probs_fwd(q, kt, local_mask, temp, interpret):
+    return (sab_attn_probs_op(q, kt, local_mask, temp, interpret),
+            (q, kt, local_mask, temp))
+
+
+def _sab_attn_probs_bwd(interpret, res, g):
+    q, kt, local_mask, temp = res
+    _, vjp = jax.vjp(_sab_attn_probs_xla, q, kt, local_mask, temp)
+    return vjp(g)
+
+
+sab_attn_probs_op.defvjp(_sab_attn_probs_fwd, _sab_attn_probs_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def sab_softmax_op(scores, local_mask, interpret=False):
     from turtlevsr_tpu.kernels.sab import sab_sparse_softmax

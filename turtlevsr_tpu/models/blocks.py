@@ -459,24 +459,24 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
 
     ad = acc_dtype(x.dtype)
     temp = params["temperature"].astype(ad).reshape(())
-    attn = jnp.einsum("bqd,bnkd->bnqk", q, k_all,
-                      preferred_element_type=ad) * temp
-    # sparsity chain (top-5 + local mask + clipped softmax): one fused
-    # Pallas pass when available, else the jnp ops
-    attn = attn.astype(x.dtype)
-    lm = local_window_mask(hq, wq, 4, attn.dtype)
-    bsz, nf_all, hw, _ = attn.shape
+    hw = q.shape[1]
+    lm = local_window_mask(hq, wq, 4, x.dtype)
     use_fused = False
     if spec is not None and spec.kernels == "pallas":
         from turtlevsr_tpu.kernels.sab import sab_sparse_softmax_supported
-        from turtlevsr_tpu.kernels.vjp import sab_softmax_op
 
         use_fused = sab_sparse_softmax_supported(hw, hw)
     if use_fused:
-        a = sab_softmax_op(attn.reshape(bsz * nf_all, hw, hw), lm,
-                           _pallas_interpret())
-        a = a.reshape(bsz, nf_all, hw, hw)
+        # scores + top-5 + local mask + clipped softmax in ONE fused Pallas
+        # pass; the (NF, HW, HW) score tensor never round-trips HBM
+        from turtlevsr_tpu.kernels.vjp import sab_attn_probs_op
+
+        kt = k_all.transpose(0, 1, 3, 2)  # (B, NF, D, HW)
+        a = sab_attn_probs_op(q, kt, lm, temp, _pallas_interpret())
     else:
+        attn = jnp.einsum("bqd,bnkd->bnqk", q, k_all,
+                          preferred_element_type=ad) * temp
+        attn = attn.astype(x.dtype)
         attn1 = topk_keep(attn, 5)
         attn2 = attn * lm[None, None]
         a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
