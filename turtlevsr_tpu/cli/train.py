@@ -42,23 +42,35 @@ def parse_args():
 
 
 def build_validation(cfg, val_opt, opt):
-    """Validation over full val clips: per-frame PSNR (and optional SSIM)
-    like nondist_validation (video_restoration_model.py:149-224)."""
+    """Validation over the FULL val set, sharded round-robin over processes
+    (idx % world_size, video_restoration_model.py:162-164), with per-frame
+    PSNR/SSIM via the val-loop metric family and optional res/gt/lq image
+    dumps into path.visualization (:175-191). Per-process sums are combined
+    so every rank logs the same global average."""
     import jax
     import jax.numpy as jnp
 
     from turtlevsr_tpu.metrics import calculate_psnr, calculate_ssim
     from turtlevsr_tpu.models.turtle import forward, init_cache
+    from turtlevsr_tpu.utils.img import img_from_float, imwrite
 
-    metrics_opt = (opt.get("val") or {}).get("metrics") or {}
+    vopt = opt.get("val") or {}
+    metrics_opt = vopt.get("metrics") or {}
+    save_img = bool(vopt.get("save_img"))
+    vis_root = (opt.get("path") or {}).get("visualization", "visualization")
 
-    def validate(params, dataset, max_clips=8):
+    def validate(params, dataset, max_clips=None, current_iter=0):
         fwd = jax.jit(lambda p, x, c: forward(p, cfg, x, c))
-        results = {name: [] for name in metrics_opt}
-        n = min(len(dataset), max_clips)
+        sums = {name: 0.0 for name in metrics_opt}
+        cnt = 0
+        n = len(dataset) if max_clips is None else min(len(dataset),
+                                                       max_clips)
         for idx in range(n):
+            if idx % jax.process_count() != jax.process_index():
+                continue
             item = dataset[idx]
             lq, gt = item["lq"], item["gt"]
+            clip_key = str(item.get("key", idx)).replace("/", "_")
             t, h, w, _ = lq.shape
             cache = init_cache(cfg, 1, h, w, dtype=jnp.bfloat16)
             prev = lq[0]
@@ -67,15 +79,33 @@ def build_validation(cfg, val_opt, opt):
                                 jnp.bfloat16)
                 out, cache = fwd(params, x, cache)
                 pred = np.clip(np.asarray(out[0], np.float32), 0, 1)
+                if save_img:
+                    base = osp.join(vis_root, clip_key)
+                    imwrite(img_from_float(pred),
+                            osp.join(base, f"{clip_key}_frame{j}_res.png"))
+                    imwrite(img_from_float(gt[j]),
+                            osp.join(base, f"{clip_key}_frame{j}_gt.png"))
+                    imwrite(img_from_float(lq[j]),
+                            osp.join(base, f"{clip_key}_frame{j}_lq.png"))
                 for name, mopt in metrics_opt.items():
                     mt = mopt.get("type", "calculate_psnr")
                     kw = {k: v for k, v in mopt.items() if k != "type"}
                     if mt == "calculate_psnr":
-                        results[name].append(calculate_psnr(pred, gt[j], **kw))
+                        sums[name] += calculate_psnr(pred, gt[j], **kw)
                     elif mt == "calculate_ssim":
-                        results[name].append(calculate_ssim(pred, gt[j], **kw))
+                        sums[name] += calculate_ssim(pred, gt[j], **kw)
+                cnt += 1
                 prev = lq[j]
-        return {k: float(np.mean(v)) for k, v in results.items() if v}
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            packed = np.array([cnt] + [sums[k] for k in metrics_opt],
+                              np.float64)
+            total = np.asarray(
+                multihost_utils.process_allgather(packed)).sum(axis=0)
+            cnt = total[0]
+            sums = {k: total[1 + i] for i, k in enumerate(metrics_opt)}
+        return {k: float(v / max(cnt, 1)) for k, v in sums.items()}
 
     return validate
 
@@ -196,15 +226,20 @@ def main():
     train_ds = create_dataset(opt, "train")
     dataset_opt = (opt.get("datasets") or {}).get("train") or {}
     batch_per_dev = int(dataset_opt.get("batch_size_per_gpu", 2))
-    batch = batch_per_dev * n_dev
+    # each process loads only its ADDRESSABLE devices' share; shard_batch
+    # assembles the global array (multi-host: local_device_count < n_dev)
+    from turtlevsr_tpu.parallel.mesh import per_process_batch_size
+
+    batch = per_process_batch_size(batch_per_dev)
     enlarge = int(dataset_opt.get("dataset_enlarge_ratio", 1))
     # rank-strided sharding across hosts (EnlargedSampler semantics)
     sampler = EnlargedSampler(len(train_ds), jax.process_count(),
                               jax.process_index(), ratio=enlarge)
     workers = int(dataset_opt.get("num_worker_per_gpu", 2))
     loader = PrefetchLoader(train_ds, sampler, batch, num_workers=workers)
-    logger.info(f"Training clips: {len(train_ds)}; batch: {batch} "
-                f"({batch_per_dev}/device)")
+    logger.info(f"Training clips: {len(train_ds)}; global batch: "
+                f"{batch_per_dev * n_dev} ({batch_per_dev}/device, "
+                f"{batch}/process)")
 
     val_ds = None
     if (opt.get("datasets") or {}).get("val") or (opt.get("val") or {}):

@@ -670,6 +670,23 @@ def _pallas_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _ffn_half_supported(params, x, spec: BlockSpec) -> bool:
+    """Shape gate for the fused FFN/ReducedAttn halves (the kernels need
+    W % 8 == 0 and a feasible VMEM strip; small val/tile shapes fall back
+    to the XLA chain)."""
+    from turtlevsr_tpu.kernels.ffn import ffn_pallas_supported
+
+    h, w, c = x.shape[1], x.shape[2], spec.dim
+    if spec.attn_type == "ReducedAttn":
+        dw = params["attn"]["conv1"]["weight"].shape[-1]
+        if not ffn_pallas_supported(h, w, c, dw, True):
+            return False
+    if spec.ffw_type == "GFFW":
+        hid = params["ffn"]["project_in"]["weight"].shape[-1]
+        return ffn_pallas_supported(h, w, c, hid // 2, True)
+    return ffn_pallas_supported(h, w, c, 2 * c, False)
+
+
 def _fused_ffn_half(params, x, spec: BlockSpec):
     """x + FFN(norm2(x)) as one fused Pallas pass (kernels/ffn.py),
     differentiable via kernels/vjp.py."""
@@ -715,7 +732,8 @@ def _fused_reduced_attn_half(params, x, spec: BlockSpec):
 
 def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
     t = spec.attn_type
-    fused = spec.kernels == "pallas"
+    fused = (spec.kernels == "pallas"
+             and _ffn_half_supported(params, x, spec))
     if t == "NoAttn":
         if fused:
             return _fused_ffn_half(params, x, spec), None

@@ -39,10 +39,27 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(arr, tuple(axis_names))
 
 
+def per_process_batch_size(batch_per_device: int) -> int:
+    """Host-side batch each process must load: per-device batch x the
+    process's ADDRESSABLE devices (the DDP-equivalent guarantee,
+    reference train.py:46-60 one-proc-per-GPU). The global batch is
+    batch_per_device * jax.device_count()."""
+    return batch_per_device * jax.local_device_count()
+
+
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Place a host batch with its leading dim sharded over the mesh."""
+    """Assemble each process's LOCAL batch into a global array whose leading
+    dim is sharded over the mesh.
+
+    Multi-host correct: jax.make_array_from_process_local_data builds the
+    global jax.Array from per-process shards (a plain device_put onto a
+    global NamedSharding is only valid when every mesh device is
+    addressable). Each process passes its own
+    per_process_batch_size(batch_per_device) rows."""
     sh = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch)
 
 
 def replicate(mesh: Mesh, tree):
