@@ -156,7 +156,15 @@ def test_infer_cli_with_gt(workdir):
                cwd=str(workdir))
     assert "PSNR for video0:" in out
     assert "FPS:" in out
-    assert os.path.exists(workdir / "results" / "video0" / "Frame_1_Pred.png")
+    # reference artifact layout: {save}/{model}/{video}/Frame_{i}_{kind}.png
+    base = workdir / "results" / "model" / "video0"
+    for kind in ("Pred", "Input", "GT"):
+        assert os.path.exists(base / f"Frame_1_{kind}.png"), kind
+    try:
+        import matplotlib  # noqa: F401
+        assert os.path.exists(base / "Frame_1.png")  # triptych
+    except ImportError:
+        pass
 
 
 def test_infer_cli_tiled_no_gt(workdir):
@@ -208,3 +216,30 @@ def test_infer_task_preset(workdir, tmp_path):
                 "--data_dir", data, "--tile", "0", "--max_frames", "2",
                 "--kernels", "xla", "--dtype", "float32"], cwd=str(tmp_path))
     assert "PSNR for video0:" in out  # GT = clean frames, inputs noised
+
+
+def test_denoise_noise_presampled_and_stable(workdir, tmp_path):
+    """The reference pre-samples per-video noise to .npy so runs are
+    comparable (inference.py:115-124); ours additionally pins the
+    realisation with a per-video seed."""
+    from turtlevsr_tpu.cli.infer import (prepare_noisy_frames,
+                                         stable_video_seed)
+
+    rng = np.random.RandomState(7)
+    frames = [rng.rand(16, 16, 3).astype(np.float32) for _ in range(3)]
+    root = str(tmp_path / "noisy")
+    p1 = prepare_noisy_frames(frames, "vid_a", 50.0, root, "Set8", seed=0)
+    assert len(p1) == 3 and all(p.endswith(".npy") for p in p1)
+    assert os.path.dirname(p1[0]).endswith(os.path.join("Set8", "vid_a_50"))
+    first = np.load(p1[0])
+    # reload path: second call must NOT resample
+    p2 = prepare_noisy_frames(frames, "vid_a", 50.0, root, "Set8", seed=0)
+    np.testing.assert_array_equal(np.load(p2[0]), first)
+    # fresh directory + same seed -> identical realisation (seed-stable)
+    p3 = prepare_noisy_frames(frames, "vid_a", 50.0,
+                              str(tmp_path / "noisy2"), "Set8", seed=0)
+    np.testing.assert_array_equal(np.load(p3[0]), first)
+    # different videos get different noise
+    assert stable_video_seed(0, "vid_a") != stable_video_seed(0, "vid_b")
+    p4 = prepare_noisy_frames(frames, "vid_b", 50.0, root, "Set8", seed=0)
+    assert np.abs(np.load(p4[0]) - first).max() > 1e-4

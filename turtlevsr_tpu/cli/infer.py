@@ -51,6 +51,72 @@ TASK_PRESETS = {
 }
 
 
+def stable_video_seed(seed: int, video_name: str) -> int:
+    """Deterministic per-video noise seed (stable across runs/processes —
+    unlike the reference, which relies on the first run's unseeded .npy
+    files persisting on disk, inference.py:115-124)."""
+    import zlib
+
+    return (seed * 1000003 + zlib.crc32(video_name.encode())) % (2 ** 31)
+
+
+def prepare_noisy_frames(frames, video_name: str, noise_sigma: float,
+                         noisy_root: str, dataset_name: str = "Set8",
+                         seed: int = 0):
+    """The reference Denoising protocol (inference.py:88-141): per-video
+    noisy frames are PRE-SAMPLED to .npy files once and reloaded by every
+    later run, so scores are comparable across runs at the 0.05 dB bar.
+    Noise is gaussian sigma/255 per frame on the [0,1] GT. Returns the list
+    of noisy-frame .npy paths (sorted)."""
+    folder = os.path.join(noisy_root, dataset_name,
+                          f"{video_name}_{int(noise_sigma)}")
+    os.makedirs(folder, exist_ok=True)
+    existing = sorted(glob.glob(os.path.join(folder, "*.npy")))
+    if len(existing) == len(frames):
+        return existing
+    rng = np.random.RandomState(stable_video_seed(seed, video_name))
+    paths = []
+    for i, frame in enumerate(frames):
+        noisy = frame + rng.normal(0.0, noise_sigma / 255.0,
+                                   frame.shape).astype(np.float32)
+        path = os.path.join(folder, f"{i:08d}.npy")
+        np.save(path, noisy.astype(np.float32))
+        paths.append(path)
+    return paths
+
+
+def save_eval_artifacts(save_path: str, model_name: str, video_name: str,
+                        ix: int, inp_u8, pred_u8, gt_u8, psnr: float,
+                        ssim: float) -> None:
+    """Reference output layout (inference.py:329-363): per-frame
+    Frame_{ix+1}_Input/Pred/GT.png plus a matplotlib triptych
+    Frame_{ix+1}.png under {save_path}/{model_name}/{video_name}."""
+    from turtlevsr_tpu.utils.img import imwrite
+
+    base = os.path.join(save_path, model_name, video_name)
+    os.makedirs(base, exist_ok=True)
+    imwrite(pred_u8, os.path.join(base, f"Frame_{ix + 1}_Pred.png"))
+    imwrite(inp_u8, os.path.join(base, f"Frame_{ix + 1}_Input.png"))
+    imwrite(gt_u8, os.path.join(base, f"Frame_{ix + 1}_GT.png"))
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:  # triptych is optional; PNGs above always written
+        return
+    fig, axs = plt.subplots(1, 3, figsize=(10, 10))
+    axs[0].imshow(inp_u8)
+    axs[1].imshow(pred_u8)
+    axs[2].imshow(gt_u8)
+    axs[0].set_title("Input")
+    axs[1].set_title(f"Pred {psnr:.2f}/{ssim:.2f}")
+    axs[2].set_title(f"GT Frame {ix}")
+    plt.tight_layout()
+    fig.savefig(os.path.join(base, f"Frame_{ix + 1}.png"),
+                bbox_inches="tight")
+    plt.close(fig)
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--task", choices=sorted(TASK_PRESETS),
@@ -71,6 +137,15 @@ def parse_args():
     p.add_argument("--y_channel", action="store_true")
     p.add_argument("--noise_sigma", type=float, default=None,
                    help="denoising: synthesize noisy inputs at sigma/255")
+    p.add_argument("--noisy_dir", default=None,
+                   help="root for pre-sampled noisy .npy frames (default: "
+                        "<save_path or .>/noisy_data); reused when present")
+    p.add_argument("--dataset_name", default="Set8",
+                   help="dataset label for the noisy-frame folder layout")
+    p.add_argument("--model_name", default="model",
+                   help="subfolder name for saved eval artifacts")
+    p.add_argument("--seed", type=int, default=0,
+                   help="base seed for the per-video noise sampling")
     p.add_argument("--kernels", choices=["xla", "pallas"], default="pallas")
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
@@ -136,7 +211,13 @@ def main():
             gt_frames = VideoFrames(os.path.join(gt_dir, vname))
         print(f"> # of Frames in {vname}: {len(frames)}")
 
-        noise_rng = np.random.RandomState(0)
+        noisy_paths = None
+        if args.noise_sigma is not None:
+            noisy_root = args.noisy_dir or os.path.join(
+                args.save_path or ".", "noisy_data")
+            noisy_paths = prepare_noisy_frames(
+                list(frames), vname, args.noise_sigma, noisy_root,
+                dataset_name=args.dataset_name, seed=args.seed)
         engine.reset()
         v_psnr, v_ssim = [], []
         gt_iter = iter(gt_frames) if gt_frames else None
@@ -144,11 +225,9 @@ def main():
             if args.max_frames and ix >= args.max_frames:
                 break
             gt = next(gt_iter) if gt_iter else None
-            if args.noise_sigma is not None:
+            if noisy_paths is not None:
                 gt = frame
-                frame = (frame + noise_rng.normal(
-                    0.0, args.noise_sigma / 255.0, frame.shape)
-                ).astype(np.float32)
+                frame = np.load(noisy_paths[ix]).astype(np.float32)
 
             t0 = time.perf_counter()
             out = engine.step(frame)
@@ -156,6 +235,7 @@ def main():
             total_time += time.perf_counter() - t0
             total_frames += 1
 
+            ps = ss = float("nan")
             if gt is not None and not args.no_gt:
                 gt_u8 = img_from_float(gt)
                 if args.y_channel:
@@ -170,8 +250,14 @@ def main():
                 print(f"PSNR for Frame: {ix} -- {ps}")
 
             if args.save_path:
-                imwrite(out_u8, os.path.join(args.save_path, vname,
-                                             f"Frame_{ix + 1}_Pred.png"))
+                if gt is not None and not args.no_gt:
+                    save_eval_artifacts(
+                        args.save_path, args.model_name, vname, ix,
+                        img_from_float(np.clip(frame, 0.0, 1.0)), out_u8,
+                        img_from_float(gt), ps, ss)
+                else:
+                    imwrite(out_u8, os.path.join(args.save_path, vname,
+                                                 f"Frame_{ix + 1}_Pred.png"))
 
         if v_psnr:
             print(f"PSNR for {vname}: {mean(v_psnr)}")

@@ -44,7 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LN_EPS = 1e-5
 # v5e exposes far more VMEM than the 16MB default scoped limit; the kernel
-# requests a raised limit and budgets well inside it
+# requests a raised limit and budgets well inside it. 48MB is the measured
+# optimum: an 80MB budget gives S=8 strips (~9% faster in isolation) but
+# OOMs scoped vmem in the full bf16 720p graph (113MB > the 109MB cap).
 _VMEM_BUDGET = 48 * 1024 * 1024
 _VMEM_LIMIT = 100 * 1024 * 1024
 
