@@ -31,6 +31,39 @@ def test_restore_video_pipeline(tmp_path):
                         ckpt_dir=str(tmp_path), options_dir=str(options_dir),
                         max_frames=3)
     assert res["status"] == "ok"
-    assert os.path.exists(res["video"])
-    assert os.path.exists(res["comparison"])
+    for key in ("video", "comparison", "side_by_side", "slider"):
+        assert os.path.exists(res[key]), key
+        assert os.path.getsize(res[key]) > 0, key
     assert res["fps"] > 0
+    # side-by-side frames are double width
+    cap = cv2.VideoCapture(res["side_by_side"])
+    assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
+    cap.release()
+
+
+def test_restore_image_pipeline(tmp_path):
+    from PIL import Image
+
+    from turtlevsr_tpu.app import restore_image
+    from test_cli import TINY_YML
+
+    options_dir = tmp_path / "options"
+    options_dir.mkdir()
+    custom_yml = options_dir / "custom.yml"
+    custom_yml.write_text(TINY_YML.format(root=tmp_path))
+    (options_dir / "Turtle_Deblur_Gopro.yml").write_text(
+        TINY_YML.format(root=tmp_path))
+
+    rng = np.random.RandomState(1)
+    png = str(tmp_path / "in.png")
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(png)
+
+    # exercise the custom-config override path too (app.py:493-500)
+    res = restore_image(png, "Video Deblurring (GoPro)",
+                        ckpt_dir=str(tmp_path), options_dir=str(options_dir),
+                        custom_config_path=str(custom_yml))
+    assert res["status"] == "ok"
+    out = np.asarray(Image.open(res["image"]))
+    assert out.shape == (64, 64, 3)
+    sbs = np.asarray(Image.open(res["side_by_side"]))
+    assert sbs.shape == (64, 128, 3)

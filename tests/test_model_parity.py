@@ -49,14 +49,17 @@ def run_reference(model, frames):
 
 def run_ours(params, cfg, frames_np):
     """frames_np: (T, B, C, H, W) float64; returns list of NCHW outputs."""
+    import jax
+
     t_total, b, c, h, w = frames_np.shape
     cache = init_cache(cfg, b, h, w, dtype=jnp.float64)
+    step = jax.jit(lambda p, x, c_: forward(p, cfg, x, c_))
     outs = []
     for t in range(t_total):
         cur = frames_np[t].transpose(0, 2, 3, 1)
         prev = frames_np[max(t - 1, 0)].transpose(0, 2, 3, 1)
         x = jnp.asarray(np.stack([prev, cur], axis=1))  # (B,2,H,W,C)
-        out, cache = forward(params, cfg, x, cache)
+        out, cache = step(params, x, cache)
         outs.append(np.asarray(out).transpose(0, 3, 1, 2))
     return outs
 

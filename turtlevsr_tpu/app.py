@@ -5,11 +5,13 @@ Requires ``gradio`` (optional; not bundled in minimal images):
 
     python -m turtlevsr_tpu.app --ckpt-dir checkpoints/
 
-Differences from the reference (app.py:1-1029): jobs run in daemon threads
-with a cooperative ``threading.Event`` cancel checked between frames —
-instead of injecting SystemExit into threads via ctypes
-(app.py:66-87) — and the per-task registry maps to local checkpoint paths
-supplied at launch instead of hard-coded ones.
+Feature parity with the reference (app.py:1-1029): video + image
+restoration tabs, result/wipe/side-by-side/slider comparison outputs
+(:93-384), custom checkpoint/config override (:493-500). Differences by
+design: jobs run in daemon threads with a cooperative ``threading.Event``
+cancel checked between frames — instead of injecting SystemExit into
+threads via ctypes (app.py:66-87) — and the per-task registry maps to
+local checkpoint paths supplied at launch instead of hard-coded ones.
 """
 
 from __future__ import annotations
@@ -41,36 +43,54 @@ class Job:
         self.progress = 0.0
 
 
-def restore_video(video_path: str, task: str, ckpt_dir: str,
-                  options_dir: str, tile: int = 0, max_frames: int = 0,
-                  job: Job | None = None, progress_cb=None) -> dict:
-    """Extract frames -> stream restore -> assemble result + comparisons."""
+def _build_task_model(task: str, ckpt_dir: str, options_dir: str,
+                      custom_model_path: str = "",
+                      custom_config_path: str = ""):
+    """Resolve (cfg, params) for a task, honouring a custom checkpoint /
+    option-file override (app.py:493-500)."""
     import jax
 
-    from turtlevsr_tpu.config.options import load_options, model_config_from_options
-    from turtlevsr_tpu.eval.engine import InferenceEngine
+    from turtlevsr_tpu.config.options import (load_options,
+                                              model_config_from_options)
     from turtlevsr_tpu.io.checkpoint import restore_params
     from turtlevsr_tpu.models.turtle import init_params
-    from turtlevsr_tpu.utils.img import float_from_img, img_from_float, imwrite
-    from turtlevsr_tpu.utils.video_io import (
-        comparison_wipe_video, extract_frames, frames_to_video)
 
-    job = job or Job()
     yml, ckpt_name = SUPPORTED_TASKS[task]
-    opt = load_options(os.path.join(options_dir, yml), is_train=False)
+    yml_path = custom_config_path or os.path.join(options_dir, yml)
+    opt = load_options(yml_path, is_train=False)
     opt["kernels"] = "pallas"
     cfg = model_config_from_options(opt)
 
-    ckpt = None
-    for cand in (os.path.join(ckpt_dir, ckpt_name),
-                 os.path.join(ckpt_dir, ckpt_name + ".pth")):
-        if os.path.exists(cand):
-            ckpt = cand
-            break
+    ckpt = custom_model_path or None
+    if not ckpt:
+        for cand in (os.path.join(ckpt_dir, ckpt_name),
+                     os.path.join(ckpt_dir, ckpt_name + ".pth")):
+            if os.path.exists(cand):
+                ckpt = cand
+                break
     if ckpt:
         params = restore_params(ckpt)
     else:
         params = init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def restore_video(video_path: str, task: str, ckpt_dir: str,
+                  options_dir: str, tile: int = 0, max_frames: int = 0,
+                  job: Job | None = None, progress_cb=None,
+                  custom_model_path: str = "",
+                  custom_config_path: str = "") -> dict:
+    """Extract frames -> stream restore -> assemble result + comparisons
+    (plain, side-by-side, wipe and slider videos, app.py:93-384)."""
+    from turtlevsr_tpu.eval.engine import InferenceEngine
+    from turtlevsr_tpu.utils.img import float_from_img, img_from_float, imwrite
+    from turtlevsr_tpu.utils.video_io import (
+        comparison_slider_video, comparison_wipe_video, extract_frames,
+        frames_to_video, side_by_side_video)
+
+    job = job or Job()
+    cfg, params = _build_task_model(task, ckpt_dir, options_dir,
+                                    custom_model_path, custom_config_path)
 
     work = tempfile.mkdtemp(prefix="turtle_app_")
     frames_dir = os.path.join(work, "frames")
@@ -106,7 +126,46 @@ def restore_video(video_path: str, task: str, ckpt_dir: str,
     frames_to_video(out_dir, result)
     wipe = os.path.join(work, "comparison.mp4")
     comparison_wipe_video(frames_dir, out_dir, wipe)
-    return {"status": "ok", "video": result, "comparison": wipe, "fps": fps}
+    sbs = os.path.join(work, "side_by_side.mp4")
+    side_by_side_video(frames_dir, out_dir, sbs)
+    slider = os.path.join(work, "slider.mp4")
+    comparison_slider_video(frames_dir, out_dir, slider)
+    return {"status": "ok", "video": result, "comparison": wipe,
+            "side_by_side": sbs, "slider": slider, "fps": fps}
+
+
+def restore_image(image_path: str, task: str, ckpt_dir: str,
+                  options_dir: str, tile: int = 0,
+                  custom_model_path: str = "",
+                  custom_config_path: str = "") -> dict:
+    """Single-image restoration (the reference's image tab,
+    app.py:667-811): the image streams through the same engine as a
+    one-frame video; returns result + side-by-side comparison paths."""
+    import numpy as np
+    from PIL import Image
+
+    from turtlevsr_tpu.eval.engine import InferenceEngine
+    from turtlevsr_tpu.utils.img import float_from_img, img_from_float, imwrite
+
+    img = Image.open(image_path).convert("RGB")
+    if max(img.size) > MAX_DIM:
+        raise ValueError(f"image exceeds {MAX_DIM}px limit")
+    cfg, params = _build_task_model(task, ckpt_dir, options_dir,
+                                    custom_model_path, custom_config_path)
+    engine = InferenceEngine(cfg, params,
+                             mode="tiled" if tile else "whole", tile=tile)
+    x = float_from_img(np.asarray(img))
+    out = engine.step(x)
+    work = tempfile.mkdtemp(prefix="turtle_img_")
+    out_path = os.path.join(work, "restored.png")
+    imwrite(img_from_float(out), out_path)
+    inp8 = np.asarray(img)
+    out8 = img_from_float(out)
+    if out8.shape[:2] != inp8.shape[:2]:  # SR: upscale input for comparison
+        inp8 = np.asarray(img.resize((out8.shape[1], out8.shape[0])))
+    sbs_path = os.path.join(work, "side_by_side.png")
+    imwrite(np.hstack((inp8, out8)), sbs_path)
+    return {"status": "ok", "image": out_path, "side_by_side": sbs_path}
 
 
 def create_ui(ckpt_dir: str, options_dir: str):
@@ -114,33 +173,76 @@ def create_ui(ckpt_dir: str, options_dir: str):
 
     jobs: dict = {}
 
-    def process(video, task, tile, session=""):
+    def process(video, task, tile, use_custom, custom_ckpt, custom_yml):
         job = Job()
         jobs[id(job)] = job
         try:
-            res = restore_video(video, task, ckpt_dir, options_dir,
-                                tile=int(tile) if tile else 0, job=job)
+            res = restore_video(
+                video, task, ckpt_dir, options_dir,
+                tile=int(tile) if tile else 0, job=job,
+                custom_model_path=custom_ckpt if use_custom else "",
+                custom_config_path=custom_yml if use_custom else "")
         except Exception as e:  # surface errors in the UI
-            return None, None, f"Error: {e}"
+            return None, None, None, None, f"Error: {e}"
         if res["status"] != "ok":
-            return None, None, res["status"]
-        return res["video"], res["comparison"], \
-            f"done ({res['fps']:.2f} frames/s)"
+            return None, None, None, None, res["status"]
+        return (res["video"], res["comparison"], res["side_by_side"],
+                res["slider"], f"done ({res['fps']:.2f} frames/s)")
+
+    def process_image(image, task, tile, use_custom, custom_ckpt,
+                      custom_yml):
+        try:
+            res = restore_image(
+                image, task, ckpt_dir, options_dir,
+                tile=int(tile) if tile else 0,
+                custom_model_path=custom_ckpt if use_custom else "",
+                custom_config_path=custom_yml if use_custom else "")
+        except Exception as e:
+            return None, None, f"Error: {e}"
+        return res["image"], res["side_by_side"], "done"
 
     with gr.Blocks(title="Turtle Video Restoration (TPU)") as demo:
         gr.Markdown("# Turtle Video Restoration — TPU")
-        with gr.Row():
-            with gr.Column():
-                vid = gr.Video(label="Input video")
-                task = gr.Dropdown(list(SUPPORTED_TASKS), label="Task",
-                                   value=list(SUPPORTED_TASKS)[0])
-                tile = gr.Number(label="Tile size (0 = whole frame)", value=0)
-                btn = gr.Button("Restore")
-            with gr.Column():
-                out_v = gr.Video(label="Restored")
-                out_c = gr.Video(label="Comparison (wipe)")
-                status = gr.Textbox(label="Status")
-        btn.click(process, [vid, task, tile], [out_v, out_c, status])
+        with gr.Accordion("Custom model", open=False):
+            use_custom = gr.Checkbox(label="Use custom checkpoint/config",
+                                     value=False)
+            custom_ckpt = gr.Textbox(label="Checkpoint path (.pth or orbax)")
+            custom_yml = gr.Textbox(label="Option file path (.yml)")
+        with gr.Tab("Video Restoration"):
+            with gr.Row():
+                with gr.Column():
+                    vid = gr.Video(label="Input video")
+                    task = gr.Dropdown(list(SUPPORTED_TASKS), label="Task",
+                                       value=list(SUPPORTED_TASKS)[0])
+                    tile = gr.Number(label="Tile size (0 = whole frame)",
+                                     value=0)
+                    btn = gr.Button("Restore")
+                with gr.Column():
+                    out_v = gr.Video(label="Restored")
+                    out_c = gr.Video(label="Comparison (wipe)")
+                    out_s = gr.Video(label="Side by side")
+                    out_sl = gr.Video(label="Slider comparison")
+                    status = gr.Textbox(label="Status")
+            btn.click(process,
+                      [vid, task, tile, use_custom, custom_ckpt, custom_yml],
+                      [out_v, out_c, out_s, out_sl, status])
+        with gr.Tab("Image Restoration"):
+            with gr.Row():
+                with gr.Column():
+                    img = gr.Image(label="Input image", type="filepath")
+                    itask = gr.Dropdown(list(SUPPORTED_TASKS), label="Task",
+                                        value=list(SUPPORTED_TASKS)[0])
+                    itile = gr.Number(label="Tile size (0 = whole frame)",
+                                      value=0)
+                    ibtn = gr.Button("Restore image")
+                with gr.Column():
+                    iout = gr.Image(label="Restored")
+                    isbs = gr.Image(label="Side by side")
+                    istatus = gr.Textbox(label="Status")
+            ibtn.click(process_image,
+                       [img, itask, itile, use_custom, custom_ckpt,
+                        custom_yml],
+                       [iout, isbs, istatus])
     return demo
 
 

@@ -19,6 +19,64 @@ import time
 import numpy as np
 
 
+def bench_train_step(args, opt, cfg, dtype):
+    """Time one optimizer step at the reference training recipe
+    (readme.md:115 / options/*.yml: bs 2/chip, n_sequence 5, patch 192) and
+    print a train_step_ms JSON line — the reference's 8-GPU recipe does
+    200k iters; iters/day per chip is the comparable capacity number."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from turtlevsr_tpu.models.turtle import init_params
+    from turtlevsr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from turtlevsr_tpu.train.lr_schedule import build_schedule
+    from turtlevsr_tpu.train.step import (TrainState, make_optimizer,
+                                          make_train_step)
+
+    train_opt = opt.get("train") or {
+        "optim_g": {"lr": 4e-4, "weight_decay": 0, "betas": [0.9, 0.99]},
+        "scheduler": {"type": "TrueCosineAnnealingLR", "T_max": 200000,
+                      "eta_min": 1e-7},
+        "total_iter": 200000, "warmup_iter": -1}
+    tx = make_optimizer(train_opt, build_schedule(train_opt))
+    mesh = make_mesh(1)
+    step = make_train_step(cfg, tx, compute_dtype=dtype, remat=True,
+                           mesh=mesh)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    state = replicate(mesh, TrainState.create(params, tx))
+
+    ds_opt = (opt.get("datasets") or {}).get("train") or {}
+    b = int(ds_opt.get("batch_size_per_gpu", 2))
+    t = int(opt.get("n_sequence", 5))
+    ps = int(opt.get("patch_size", 192))
+    rng = np.random.RandomState(0)
+    lq = rng.rand(b, t, ps, ps, 3).astype(np.float32)
+    gt = rng.rand(b, t, ps, ps, 3).astype(np.float32)
+    lq, gt = shard_batch(mesh, (lq, gt))
+    print(f"train step: bs {b}/chip, T={t}, {ps}x{ps}, "
+          f"kernels={cfg.kernels}", flush=True)
+
+    state, logs = step(state, lq, gt)
+    _ = float(logs["l_pix"])  # sync through the tunnel
+    for _i in range(max(args.warmup - 1, 0)):
+        state, logs = step(state, lq, gt)
+    _ = float(logs["l_pix"])
+
+    t0 = time.perf_counter()
+    for _i in range(args.iters):
+        state, logs = step(state, lq, gt)
+    _ = float(logs["l_pix"])
+    ms = (time.perf_counter() - t0) / args.iters * 1000
+    print(json.dumps({
+        "metric": "train_step_ms_1chip",
+        "value": round(ms, 1),
+        "unit": "ms/iter",
+        "iters_per_day": int(86400 / (ms / 1000)),
+    }))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-opt", "--opt", required=True)
@@ -28,6 +86,11 @@ def main():
     p.add_argument("--kernels", choices=["xla", "pallas"], default="pallas")
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
+    p.add_argument("--train_step", action="store_true",
+                   help="benchmark the TRAINING step at the option file's "
+                        "recipe (batch_size_per_gpu, n_sequence, "
+                        "patch_size) instead of inference; prints a "
+                        "train_step_ms JSON line")
     args = p.parse_args()
 
     import jax
@@ -36,10 +99,13 @@ def main():
     from turtlevsr_tpu.config.options import load_options, model_config_from_options
     from turtlevsr_tpu.models.turtle import forward, init_cache, init_params
 
-    opt = load_options(args.opt, is_train=False)
+    opt = load_options(args.opt, is_train=args.train_step)
     cfg = dataclasses.replace(model_config_from_options(opt),
                               kernels=args.kernels)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    if args.train_step:
+        return bench_train_step(args, opt, cfg, dtype)
 
     params = jax.tree.map(lambda a: a.astype(dtype),
                           init_params(jax.random.PRNGKey(0), cfg))

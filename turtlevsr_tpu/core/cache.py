@@ -6,18 +6,24 @@ keeps the trailing ``num_frames_tocache`` frames (turtle_arch.py:273-288,
 the carry of a ``lax.scan`` over time, so each slot is preallocated at its
 maximum size with a validity count ``n``:
 
-  * slots hold the newest frame at the END (index N-1 / the last token
-    block), so "keep the last N frames" is a shift-left-and-append,
-  * positions before ``N - n`` frames are zero-filled and masked out of every
-    softmax, which is numerically identical to the reference's shorter
-    concatenations (softmax over masked keys == softmax over absent keys).
+  * each slot is a TRUE ring: the append writes one frame's block in place
+    at position ``n % N`` (``jax.lax.dynamic_update_slice``) — a
+    shift-and-concat would copy the whole multi-hundred-MB cache every
+    frame (~3.7 ms/frame at 720p across the three CHM slots),
+  * before overflow, positions n..N-1 are zero-filled and masked out of
+    every softmax, which is numerically identical to the reference's
+    shorter concatenations (softmax over masked keys == softmax over
+    absent keys). After overflow every position is valid. Position order
+    is NOT age order — every consumer (per-frame SAB attention, FHR's
+    token softmax) is mathematically order-invariant.
 
 Slot layout:
   FHR slot: k, v of shape (B, heads, N * ctok, L)  — channel-token cache
             (turtle_arch.py:287-288: ctok = dim // heads tokens per frame)
   SAB slot: k of (B, N, HWq, Dk), v of (B, N, HWv, Dv) — per-frame window
             token caches (frame axis concat, turtle_arch.py:499-501)
-Both carry n: int32 scalar, the number of valid cached frames (<= N).
+Both carry n: int32 scalar, the TOTAL number of frames ever appended
+(write pointer = n % N; min(n, N) positions are valid).
 """
 
 from __future__ import annotations
@@ -46,38 +52,36 @@ def sab_slot_init(batch: int, n_frames: int, hw_q: int, dk: int, hw_v: int,
 
 
 def fhr_slot_append(slot: dict, k_new, v_new) -> dict:
-    """Append one frame's ctok token block, dropping the oldest."""
+    """Write one frame's ctok token block at the ring position."""
     ctok = k_new.shape[2]
-    n_total = slot["k"].shape[2]
-    if n_total == ctok:  # N == 1: the ring is just the newest frame
-        k, v = k_new, v_new
-    else:
-        k = jnp.concatenate([slot["k"][:, :, ctok:, :], k_new], axis=2)
-        v = jnp.concatenate([slot["v"][:, :, ctok:, :], v_new], axis=2)
-    n_frames = n_total // ctok
-    return {"k": k, "v": v,
-            "n": jnp.minimum(slot["n"] + 1, jnp.int32(n_frames))}
+    n_frames = slot["k"].shape[2] // ctok
+    ptr = (slot["n"] % n_frames) * ctok
+    zero = jnp.int32(0)
+    k = jax.lax.dynamic_update_slice(slot["k"], k_new, (zero, zero, ptr, zero))
+    v = jax.lax.dynamic_update_slice(slot["v"], v_new, (zero, zero, ptr, zero))
+    return {"k": k, "v": v, "n": slot["n"] + 1}
 
 
 def sab_slot_append(slot: dict, k_new, v_new) -> dict:
-    """Append one frame (k_new/v_new have no frame axis)."""
+    """Write one frame (k_new/v_new have no frame axis) at the ring
+    position."""
     n_frames = slot["k"].shape[1]
-    if n_frames == 1:
-        k, v = k_new[:, None], v_new[:, None]
-    else:
-        k = jnp.concatenate([slot["k"][:, 1:], k_new[:, None]], axis=1)
-        v = jnp.concatenate([slot["v"][:, 1:], v_new[:, None]], axis=1)
-    return {"k": k, "v": v,
-            "n": jnp.minimum(slot["n"] + 1, jnp.int32(n_frames))}
+    ptr = slot["n"] % n_frames
+    zero = jnp.int32(0)
+    k = jax.lax.dynamic_update_slice(slot["k"], k_new[:, None],
+                                     (zero, ptr, zero, zero))
+    v = jax.lax.dynamic_update_slice(slot["v"], v_new[:, None],
+                                     (zero, ptr, zero, zero))
+    return {"k": k, "v": v, "n": slot["n"] + 1}
 
 
 def frame_valid_mask(n, n_frames: int):
-    """(n_frames,) bool — frame slot i is valid iff i >= n_frames - n."""
+    """(n_frames,) bool — ring position i holds a real frame iff i < n."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames, 1), 0)[:, 0]
-    return idx >= (jnp.int32(n_frames) - n)
+    return idx < n
 
 
 def token_valid_mask(n, n_frames: int, block: int):
     """(n_frames * block,) bool — validity of per-frame token blocks."""
     idx = jax.lax.broadcasted_iota(jnp.int32, (n_frames * block, 1), 0)[:, 0]
-    return idx >= (jnp.int32(n_frames) - n) * block
+    return (idx // jnp.int32(block)) < n

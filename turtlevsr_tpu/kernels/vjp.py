@@ -151,6 +151,32 @@ def call_split_proj(x, projs, *, ln_w=None, ln_b=None, interpret=False):
     return split_proj_op(x, p, (ln_mode, interpret))
 
 
+def _conv3_xla(x, p):
+    from turtlevsr_tpu.ops.conv import conv2d
+
+    return conv2d(x, p["weight"], p.get("bias"), padding=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3_op(x, p, interpret=False):
+    from turtlevsr_tpu.kernels.ffn import fused_conv3x3
+
+    return fused_conv3x3(x, p["weight"], p.get("bias"), interpret=interpret)
+
+
+def _conv3_fwd(x, p, interpret):
+    return conv3_op(x, p, interpret), (x, p)
+
+
+def _conv3_bwd(interpret, res, g):
+    x, p = res
+    _, vjp = jax.vjp(_conv3_xla, x, p)
+    return vjp(g)
+
+
+conv3_op.defvjp(_conv3_fwd, _conv3_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def sab_attn_probs_op(q, kt, local_mask, temp, interpret=False):
     from turtlevsr_tpu.kernels.sab import sab_fused_attn_probs

@@ -36,14 +36,29 @@ from turtlevsr_tpu.ops.resize import pixel_shuffle, pixel_unshuffle, upsample_bi
 # ---------------------------------------------------------------------------
 
 
+def _conv3(params, x, cfg: ModelConfig):
+    """3x3 pad-1 conv: fused Pallas kernel on the fast path (XLA's conv
+    lowering is 3-4x off bandwidth at full-res), XLA conv otherwise."""
+    if cfg.kernels == "pallas":
+        from turtlevsr_tpu.kernels.ffn import conv3x3_pallas_supported
+        from turtlevsr_tpu.kernels.vjp import conv3_op
+        from turtlevsr_tpu.models.blocks import _pallas_interpret
+
+        h, w = x.shape[1], x.shape[2]
+        wt = params["weight"]
+        if conv3x3_pallas_supported(h, w, wt.shape[2], wt.shape[3]):
+            return conv3_op(x, params, _pallas_interpret())
+    return _conv(params, x, padding=1)
+
+
 def downsample_init(key, n_feat: int, dtype=jnp.float32) -> dict:
     # conv3x3 C -> C/2, bias=False, then PixelUnshuffle(2) => 2C at H/2
     return {"body": {"0": conv_init(key, n_feat, n_feat // 2, 3, bias=False,
                                     dtype=dtype)}}
 
 
-def downsample_apply(params, x):
-    return pixel_unshuffle(_conv(params["body"]["0"], x, padding=1), 2)
+def downsample_apply(params, x, cfg: ModelConfig):
+    return pixel_unshuffle(_conv3(params["body"]["0"], x, cfg), 2)
 
 
 def upsample_init(key, n_feat: int, dtype=jnp.float32) -> dict:
@@ -52,8 +67,8 @@ def upsample_init(key, n_feat: int, dtype=jnp.float32) -> dict:
                                     dtype=dtype)}}
 
 
-def upsample_apply(params, x):
-    return pixel_shuffle(_conv(params["body"]["0"], x, padding=1), 2)
+def upsample_apply(params, x, cfg: ModelConfig):
+    return pixel_shuffle(_conv3(params["body"]["0"], x, cfg), 2)
 
 
 # ---------------------------------------------------------------------------
@@ -263,34 +278,34 @@ def forward(params: dict, cfg: ModelConfig, x_pair, cache: tuple):
         inp = cur
     current = cur
 
-    x = _conv(params["input_projection"], inp, padding=1)
+    x = _conv3(params["input_projection"], inp, cfg)
 
     out_enc1, s0 = level_block_apply(params["encoder_level1"], x, cfg,
                                      cfg.enc1, cache[0])
-    x = downsample_apply(params["down1_2"], out_enc1)
+    x = downsample_apply(params["down1_2"], out_enc1, cfg)
     out_enc2, s1 = level_block_apply(params["encoder_level2"], x, cfg,
                                      cfg.enc2, cache[1])
-    x = downsample_apply(params["down2_3"], out_enc2)
+    x = downsample_apply(params["down2_3"], out_enc2, cfg)
     out_enc3, s2 = level_block_apply(params["encoder_level3"], x, cfg,
                                      cfg.enc3, cache[2])
-    x = downsample_apply(params["down3_4"], out_enc3)
+    x = downsample_apply(params["down3_4"], out_enc3, cfg)
 
     latent, s3, s4 = latent_block_apply(params["latent"], x, cfg, cfg.latent,
                                         cache[3], cache[4])
 
-    x = upsample_apply(params["up4_3"], latent)
+    x = upsample_apply(params["up4_3"], latent, cfg)
     x = jnp.concatenate([x, out_enc3], axis=-1)
     x = _conv(params["reduce_chan_level3"], x)
     out_dec3, s5 = level_block_apply(params["decoder_level3"], x, cfg,
                                      cfg.dec3, cache[5])
 
-    x = upsample_apply(params["up3_2"], out_dec3)
+    x = upsample_apply(params["up3_2"], out_dec3, cfg)
     x = jnp.concatenate([x, out_enc2], axis=-1)
     x = _conv(params["reduce_chan_level2"], x)
     out_dec2, s6 = level_block_apply(params["decoder_level2"], x, cfg,
                                      cfg.dec2, cache[6])
 
-    x = upsample_apply(params["up2_1"], out_dec2)
+    x = upsample_apply(params["up2_1"], out_dec2, cfg)
     x = jnp.concatenate([x, out_enc1], axis=-1)
     x = _conv(params["reduce_chan_level1"], x)
     out_dec1, s7 = level_block_apply(params["decoder_level1"], x, cfg,
@@ -299,7 +314,7 @@ def forward(params: dict, cfg: ModelConfig, x_pair, cache: tuple):
     out_dec1, _ = level_block_apply(params["refinement"], out_dec1, cfg,
                                     cfg.refinement, None)
 
-    out = _conv(params["ending"], out_dec1, padding=1) + current
+    out = _conv3(params["ending"], out_dec1, cfg) + current
 
     out_h = h0 * cfg.sr_scale if cfg.variant == "sr" else h0
     out_w = w0 * cfg.sr_scale if cfg.variant == "sr" else w0

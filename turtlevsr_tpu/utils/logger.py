@@ -57,9 +57,13 @@ class MessageLogger:
         epoch = log_vars.pop("epoch", 0)
         lrs = log_vars.pop("lrs", [])
 
-        message = (f"[{self.exp_name[:31]}..][epoch:{epoch:3d}, "
+        # reference line format exactly (logger.py:55-59): 5-char exp name,
+        # trailing comma inside the lr tuple
+        message = (f"[{self.exp_name[:5]}..][epoch:{epoch:3d}, "
                    f"iter:{current_iter:8,d}, lr:(")
-        message += ", ".join(f"{v:.3e}" for v in lrs) + ")] "
+        for v in lrs:
+            message += f"{v:.3e},"
+        message += ")] "
 
         if "time" in log_vars:
             iter_time = log_vars.pop("time")
@@ -74,7 +78,9 @@ class MessageLogger:
 
         for k, v in log_vars.items():
             message += f"{k}: {v:.4e} "
-            if self.use_tb_logger and self.tb_logger is not None:
+            # 'debug' experiments skip TB like the reference (logger.py:77)
+            if (self.use_tb_logger and self.tb_logger is not None
+                    and "debug" not in self.exp_name):
                 key = f"losses/{k}" if k.startswith("l_") else k
                 self.tb_logger.add_scalar(key, v, current_iter)
         self.logger.info(message)

@@ -59,6 +59,69 @@ def frames_to_video(frames_dir: str, output_path: str, fps: float = 30.0,
     return len(files)
 
 
+def side_by_side_video(input_dir: str, pred_dir: str, output_path: str,
+                       fps: float = 20.0) -> int:
+    """Input | prediction horizontally stacked per frame (app.py:93-147)."""
+    import cv2
+    import numpy as np
+
+    in_files = sorted(glob.glob(os.path.join(input_dir, "*.*")))
+    pr_files = sorted(glob.glob(os.path.join(pred_dir, "*.*")))
+    n = min(len(in_files), len(pr_files))
+    if n == 0:
+        raise FileNotFoundError("no frame pairs")
+    first = cv2.imread(in_files[0])
+    h, w = first.shape[:2]
+    vw = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                         (w * 2, h))
+    for i in range(n):
+        a = cv2.imread(in_files[i])
+        b = cv2.imread(pr_files[i])
+        if b.shape[:2] != (h, w):
+            b = cv2.resize(b, (w, h))
+        vw.write(np.hstack((a, b)))
+    vw.release()
+    return n
+
+
+def comparison_slider_video(input_dir: str, pred_dir: str, output_path: str,
+                            fps: float = 20.0, line_width: int = 4) -> int:
+    """Sliding before/after comparison: the split position sweeps back and
+    forth (triangle wave) with a drawn handle (app.py:149-230)."""
+    import cv2
+    import numpy as np
+
+    in_files = sorted(glob.glob(os.path.join(input_dir, "*.*")))
+    pr_files = sorted(glob.glob(os.path.join(pred_dir, "*.*")))
+    n = min(len(in_files), len(pr_files))
+    if n == 0:
+        raise FileNotFoundError("no frame pairs")
+    first = cv2.imread(in_files[0])
+    h, w = first.shape[:2]
+    vw = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                         (w, h))
+    period = max(n, 2)
+    for i in range(n):
+        a = cv2.imread(in_files[i])
+        b = cv2.imread(pr_files[i])
+        if b.shape[:2] != (h, w):
+            b = cv2.resize(b, (w, h))
+        # triangle wave 0 -> 1 -> 0 across the clip
+        t = (2.0 * i / period) % 2.0
+        frac = t if t <= 1.0 else 2.0 - t
+        split = int(np.clip(frac * w, 1, w - 1))
+        frame = np.concatenate([a[:, :split], b[:, split:]], axis=1)
+        frame[:, max(split - line_width // 2, 0):split + line_width // 2] = \
+            (255, 255, 255)
+        cv2.circle(frame, (split, h // 2), max(8, line_width * 3),
+                   (255, 255, 255), -1)
+        cv2.circle(frame, (split, h // 2), max(8, line_width * 3),
+                   (64, 64, 64), 2)
+        vw.write(frame)
+    vw.release()
+    return n
+
+
 def comparison_wipe_video(input_dir: str, pred_dir: str, output_path: str,
                           fps: float = 30.0, line_width: int = 4) -> int:
     """Input-vs-prediction mp4 with a moving vertical wipe line
