@@ -1,0 +1,79 @@
+"""Pallas-vs-XLA equality at the SHIPPED bench shapes (verdict r1 item 9).
+
+The toy-shape tests pin kernel numerics at dims divisible by everything;
+these pin them at the 720p bench geometry — W=1280 rows, the flagship
+channel widths (c=64, GFFW hidden 160/gate-half, qkv thirds) — where the
+strip/halo/wrap logic actually runs. Interpret mode on CPU with a reduced
+row count (the kernels are row-blocked, so H only changes the grid)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from turtlevsr_tpu.kernels.ffn import (fused_block_ffn, fused_conv3x3,
+                                       fused_ln_split_proj)
+from turtlevsr_tpu.kernels.vjp import _conv3_xla, _ffn_xla, _split_proj_xla
+from turtlevsr_tpu.ops.conv import conv2d
+
+W = 1280  # the bench frame width; H reduced (kernels are row-blocked)
+H = 8
+C = 64    # dec1/enc1/refinement channel width
+
+
+def _rand(key, shape):
+    return jax.random.normal(jax.random.PRNGKey(key), shape,
+                             jnp.float32) * 0.5
+
+
+def test_gffw_gate_kernel_at_bench_shape():
+    hid = 160  # int(64 * 2.5): the flagship GFFW gate-half width
+    x = _rand(0, (1, H, W, C))
+    p = dict(ln_w=_rand(1, (C,)) * 0.1 + 1.0, ln_b=_rand(2, (C,)) * 0.1,
+             w1=_rand(3, (C, 2 * hid)) * 0.1, wd=_rand(4, (3, 3, 2 * hid)),
+             w2=_rand(5, (hid, C)) * 0.1)
+    got = fused_block_ffn(x, mode="gate", residual=True, interpret=True, **p)
+    want = _ffn_xla(x, p, "gate", True, "with_bias")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_qkv_split_proj_at_bench_shape():
+    x = _rand(0, (1, H, W, C))
+    projs = [dict(w1=_rand(10 + i, (C, C)) * 0.1, wd=_rand(20 + i, (3, 3, C)))
+             for i in range(3)]
+    got = fused_ln_split_proj(x, projs, ln_w=_rand(1, (C,)) * 0.1 + 1.0,
+                              interpret=True)
+    want = _split_proj_xla(x, {"projs": projs, "ln_w": _rand(1, (C,)) * 0.1
+                               + 1.0}, "bias_free")
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=2e-5)
+
+
+def test_conv3x3_at_bench_shape():
+    # the ending conv: 64 -> 3 at full width
+    x = _rand(0, (1, H, W, C))
+    wt = _rand(1, (3, 3, C, 3)) * 0.1
+    b = _rand(2, (3,)) * 0.1
+    got = fused_conv3x3(x, wt, b, interpret=True)
+    want = conv2d(x, wt, b, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_sab_probs_at_bench_window_grid():
+    """The dec1 SAB geometry: 46x80 window grid (3680 tokens), dk=128,
+    NF=3 — the exact shapes of the 720p bench attention."""
+    from turtlevsr_tpu.kernels.sab import sab_fused_attn_probs
+    from turtlevsr_tpu.kernels.vjp import _sab_attn_probs_xla
+    from turtlevsr_tpu.ops.attn_utils import local_window_mask
+
+    hq, wq, dk, nf = 46, 80, 128, 3
+    hw = hq * wq
+    q = _rand(0, (1, hw, dk))
+    kt = _rand(1, (1, nf, dk, hw))
+    kt = kt.at[:, 0].set(0.0)  # one empty-cache frame
+    lm = local_window_mask(hq, wq, 4, jnp.float32)
+    temp = jnp.float32(1.3)
+    got = sab_fused_attn_probs(q, kt, lm, temp, interpret=True)
+    want = _sab_attn_probs_xla(q, kt, lm, temp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
