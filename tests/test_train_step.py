@@ -28,6 +28,27 @@ def _setup():
     return cfg, tx, params
 
 
+def test_remat_policies_same_gradients():
+    """All jax.checkpoint policies must give identical grads (they only
+    trade memory for recompute)."""
+    cfg, _, params = _setup()
+    rng = np.random.RandomState(2)
+    lq = jnp.asarray(rng.rand(1, 2, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(1, 2, 32, 32, 3), jnp.float32)
+
+    def grads_for(policy):
+        return jax.grad(clip_loss_fn)(params, cfg, lq, gt,
+                                      compute_dtype=jnp.float32,
+                                      remat=True, remat_policy=policy)
+
+    g0 = jax.tree.leaves(grads_for("nothing"))
+    for policy in ("dots_no_batch", "dots"):
+        gp = jax.tree.leaves(grads_for(policy))
+        for a, b in zip(g0, gp):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=policy)
+
+
 def test_clip_loss_finite_grads():
     cfg, _, params = _setup()
     rng = np.random.RandomState(0)

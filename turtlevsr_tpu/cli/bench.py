@@ -43,7 +43,7 @@ def bench_train_step(args, opt, cfg, dtype):
     tx = make_optimizer(train_opt, build_schedule(train_opt))
     mesh = make_mesh(1)
     step = make_train_step(cfg, tx, compute_dtype=dtype, remat=True,
-                           mesh=mesh)
+                           remat_policy=args.remat_policy, mesh=mesh)
     params = init_params(jax.random.PRNGKey(0), cfg)
     state = replicate(mesh, TrainState.create(params, tx))
 
@@ -56,7 +56,7 @@ def bench_train_step(args, opt, cfg, dtype):
     gt = rng.rand(b, t, ps, ps, 3).astype(np.float32)
     lq, gt = shard_batch(mesh, (lq, gt))
     print(f"train step: bs {b}/chip, T={t}, {ps}x{ps}, "
-          f"kernels={cfg.kernels}", flush=True)
+          f"kernels={cfg.kernels}, remat={args.remat_policy}", flush=True)
 
     state, logs = step(state, lq, gt)
     _ = float(logs["l_pix"])  # sync through the tunnel
@@ -71,6 +71,7 @@ def bench_train_step(args, opt, cfg, dtype):
     ms = (time.perf_counter() - t0) / args.iters * 1000
     print(json.dumps({
         "metric": "train_step_ms_1chip",
+        "remat_policy": args.remat_policy,
         "value": round(ms, 1),
         "unit": "ms/iter",
         "iters_per_day": int(86400 / (ms / 1000)),
@@ -86,6 +87,9 @@ def main():
     p.add_argument("--kernels", choices=["xla", "pallas"], default="pallas")
     p.add_argument("--dtype", choices=["bfloat16", "float32"],
                    default="bfloat16")
+    p.add_argument("--remat_policy", default="nothing",
+                   choices=["nothing", "dots_no_batch", "dots"],
+                   help="jax.checkpoint policy for the train-step benchmark")
     p.add_argument("--train_step", action="store_true",
                    help="benchmark the TRAINING step at the option file's "
                         "recipe (batch_size_per_gpu, n_sequence, "

@@ -62,9 +62,19 @@ def _cast_tree(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
+REMAT_POLICIES = {
+    # everything recomputed in the backward pass: minimum HBM, max FLOPs
+    "nothing": jax.checkpoint_policies.nothing_saveable,
+    # keep matmul/conv outputs without batch dims (weights-side dots)
+    "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    # keep every dot output: max HBM, min recompute
+    "dots": jax.checkpoint_policies.dots_saveable,
+}
+
+
 def clip_loss_fn(params, cfg: ModelConfig, lq, gt, *,
                  compute_dtype=jnp.bfloat16, remat: bool = True,
-                 loss_fn=l1_loss):
+                 remat_policy: str = "nothing", loss_fn=l1_loss):
     """Mean per-frame L1 over one clip, cache threaded through a scan.
 
     lq, gt: (B, T, H, W, C) in [0, 1]. The frame pairing matches the
@@ -87,7 +97,7 @@ def clip_loss_fn(params, cfg: ModelConfig, lq, gt, *,
 
     if remat:
         frame_step = jax.checkpoint(
-            frame_step, policy=jax.checkpoint_policies.nothing_saveable)
+            frame_step, policy=REMAT_POLICIES[remat_policy])
 
     def body(cache, xs_t):
         p, cur, g = xs_t
@@ -100,7 +110,8 @@ def clip_loss_fn(params, cfg: ModelConfig, lq, gt, *,
 
 def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation, *,
                     compute_dtype=jnp.bfloat16, remat: bool = True,
-                    mesh=None, donate: bool = True):
+                    remat_policy: str = "nothing", mesh=None,
+                    donate: bool = True):
     """Build the jitted train step.
 
     With ``mesh`` (a jax.sharding.Mesh with a 'data' axis), the batch is
@@ -113,7 +124,7 @@ def make_train_step(cfg: ModelConfig, tx: optax.GradientTransformation, *,
     def step_fn(state: TrainState, lq, gt):
         loss, grads = jax.value_and_grad(clip_loss_fn)(
             state.params, cfg, lq, gt, compute_dtype=compute_dtype,
-            remat=remat)
+            remat=remat, remat_policy=remat_policy)
         grads = _cast_tree(grads, jnp.float32)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
