@@ -86,7 +86,7 @@ def _ln_2d(x, ln_w, ln_b, ln_mode):
 
 
 def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
-               e_dim, has_b1, residual):
+               e_dim, has_b1, residual, has_pair):
     """Strip program: S image rows per step + one halo row each side (the
     halo rows arrive as separate clamped row blocks).
 
@@ -98,9 +98,12 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     corrections (only when biases exist; the shipped configs have none on
     these convs).
 
-    rest layout: w1_a, wd9_a, (w1_b, wd9_b if gate), bias_vecs (9 or 18 if
-    has_b1: s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/s_br per half), w2, b2,
-    scale, cml_x, cmr_x, ml, mr, mt, mb, then out_ref, xn_ref, h1_ref."""
+    rest layout: (xa2, xm2, xb2 if has_pair — a second addend stream, e.g.
+    the attention branch whose residual add fuses here instead of
+    materialising the summed map), w1_a, wd9_a, (w1_b, wd9_b if gate),
+    bias_vecs (9 or 18 if has_b1: s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/
+    s_br per half), w2, b2, scale, cml_x, cmr_x, ml, mr, mt, mb, then
+    out_ref, xn_ref, h1_ref."""
     idx = 0
 
     def take(k):
@@ -109,6 +112,8 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
         idx += k
         return out
 
+    if has_pair:
+        xa2, xm2, xb2 = take(3)
     w1_a, wd9_a = take(2)
     w1_b, wd9_b = take(2) if mode == "gate" else (w1_a, wd9_a)
     sv_a = take(9) if has_b1 else None
@@ -122,9 +127,20 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     sw = s_rows * w
     n = sw + 2 * w
 
-    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
-    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
-    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
+    if has_pair:
+        # the block residual x + attn(x) fuses here: LN (and the final
+        # residual) see the SUM without it ever hitting HBM
+        x_top = (xa[0].astype(jnp.float32)
+                 + xa2[0].astype(jnp.float32)).astype(xm.dtype)
+        x_mid = (xm[0].astype(jnp.float32)
+                 + xm2[0].astype(jnp.float32)).astype(xm.dtype)
+        x_bot = (xb[0].astype(jnp.float32)
+                 + xb2[0].astype(jnp.float32)).astype(xm.dtype)
+    else:
+        x_top, x_mid, x_bot = xa[0], xm[0], xb[0]
+    xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
+    xn_ref[w:w + sw, :] = _ln_2d_f32(x_mid, ln_w, ln_b, ln_mode)
+    xn_ref[w + sw:n, :] = _ln_2d_f32(x_bot, ln_w, ln_b, ln_mode)
     # clamped halo rows at the image border must act zero-padded
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
@@ -178,7 +194,7 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     out = jnp.dot(act.astype(cdt), w2[:], preferred_element_type=jnp.float32)
     out = (out + b2[:].astype(jnp.float32)) * scale[:].astype(jnp.float32)
     if residual:
-        out = out + xm[0].astype(jnp.float32)
+        out = out + x_mid.astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -538,13 +554,17 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
     return tuple(o.reshape(b, h, w, e_dim) for o in outs)
 
 
-def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
-                    w2=None, b2=None, scale=None, mode: str,
-                    residual: bool = True, interpret: bool = False):
+def fused_block_ffn(x, *, x2=None, ln_w=None, ln_b=None, w1, b1=None,
+                    wd=None, bd=None, w2=None, b2=None, scale=None,
+                    mode: str, residual: bool = True,
+                    interpret: bool = False):
     """Apply the fused FFN chain to NHWC ``x`` (see module docstring).
 
     w1: (C, CH); wd/bd: (3, 3, CH) or None (no dwconv); w2: (E, C) with
     E = CH//2 for 'gate' else CH; scale: optional (C,) output scale.
+    x2: optional second addend map — the block's attention branch; the
+    kernel computes over (x + x2) so the residual sum never hits HBM
+    (dw path only).
     """
     b, h, w, c = x.shape
     ch = w1.shape[1]
@@ -565,6 +585,7 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
     xf = x.reshape(b, h * w, c)
 
     if not halo:
+        assert x2 is None, "pair-input fusion is dw-path only"
         rows = h * w
         s = rows
         # per-row live bytes: x + LN copy + fp32 hidden + ~3 gelu
@@ -591,7 +612,6 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
 
     assert w % 8 == 0, "fused dw-FFN kernel needs W % 8 == 0"
 
-    pass  # column masks are built per strip size below
 
     wd9 = wd.reshape(9, ch).astype(jnp.float32)
     has_b1 = (b1 is not None) or (bd is not None)
@@ -646,25 +666,35 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
     grid = (b, h // s_rows)
     kernel = functools.partial(
         _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-        e_dim=e_dim, has_b1=has_b1, residual=residual)
+        e_dim=e_dim, has_b1=has_b1, residual=residual,
+        has_pair=x2 is not None)
     last_row = h - 1
     s_ = s_rows
+    halo_specs = [
+        # halo row above / S main rows / halo row below; halos are
+        # clamped at the borders (zeroed in-kernel)
+        pl.BlockSpec((1, w, c),
+                     lambda b_, i: (b_, jnp.maximum(i * s_ - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w, c),
+                     lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
+                                    0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [xf, xf, xf, *ln_args]
+    in_specs = list(halo_specs) + [vmem(), vmem()]
+    if x2 is not None:
+        x2f = x2.reshape(b, h * w, c)
+        inputs += [x2f, x2f, x2f]
+        in_specs += list(halo_specs)
+    inputs += args
+    in_specs += [vmem()] * len(args)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            # halo row above / S main rows / halo row below; halos are
-            # clamped at the borders (zeroed in-kernel)
-            pl.BlockSpec((1, w, c),
-                         lambda b_, i: (b_, jnp.maximum(i * s_ - 1, 0), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w, c),
-                         lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
-                                        0),
-                         memory_space=pltpu.VMEM),
-        ] + [vmem()] * (2 + len(args)),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, sw, out_c), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, out_c), dt),
@@ -676,4 +706,4 @@ def fused_block_ffn(x, *, ln_w=None, ln_b=None, w1, b1=None, wd=None, bd=None,
             vmem_limit_bytes=_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(xf, xf, xf, *ln_args, *args).reshape(b, h, w, out_c)
+    )(*inputs).reshape(b, h, w, out_c)

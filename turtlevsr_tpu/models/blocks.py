@@ -687,9 +687,11 @@ def _ffn_half_supported(params, x, spec: BlockSpec) -> bool:
     return ffn_pallas_supported(h, w, c, 2 * c, False)
 
 
-def _fused_ffn_half(params, x, spec: BlockSpec):
-    """x + FFN(norm2(x)) as one fused Pallas pass (kernels/ffn.py),
-    differentiable via kernels/vjp.py."""
+def _fused_ffn_half(params, x, spec: BlockSpec, x2=None):
+    """(x [+ x2]) + FFN(norm2(x [+ x2])) as one fused Pallas pass
+    (kernels/ffn.py), differentiable via kernels/vjp.py. ``x2`` is the
+    attention branch — fusing its residual add here saves materialising
+    the summed map (dw/GFFW path only)."""
     from turtlevsr_tpu.kernels.vjp import call_fused_ffn as fused_block_ffn
 
     ln = params["norm2"]["body"]
@@ -698,7 +700,7 @@ def _fused_ffn_half(params, x, spec: BlockSpec):
     if spec.ffw_type == "GFFW":
         hid = p["project_in"]["weight"].shape[-1]
         return fused_block_ffn(
-            x, ln_w=ln["weight"], ln_b=ln.get("bias"),
+            x, x2=x2, ln_w=ln["weight"], ln_b=ln.get("bias"),
             w1=p["project_in"]["weight"].reshape(c, hid),
             b1=p["project_in"].get("bias"),
             wd=p["dwconv"]["weight"].reshape(3, 3, hid),
@@ -706,6 +708,8 @@ def _fused_ffn_half(params, x, spec: BlockSpec):
             w2=p["project_out"]["weight"].reshape(hid // 2, c),
             b2=p["project_out"].get("bias"),
             mode="gate", interpret=_pallas_interpret())
+    if x2 is not None:  # FFW (no-dw) path has no pair input
+        x = x + x2
     return fused_block_ffn(
         x, ln_w=ln["weight"], ln_b=ln.get("bias"),
         w1=p["conv4"]["weight"].reshape(c, 2 * c), b1=p["conv4"]["bias"],
@@ -763,6 +767,9 @@ def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
                                     ln=ln, spec=spec)
         else:
             raise ValueError(t)
+        if fused:
+            # the attention residual fuses into the FFN kernel's pair input
+            return _fused_ffn_half(params, x, spec, x2=a), new_slot
         x = x + a
     if fused:
         return _fused_ffn_half(params, x, spec), new_slot
