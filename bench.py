@@ -52,7 +52,11 @@ def main():
     b, h, w = 1, 720, 1280
     cache = init_cache(cfg, b, h, w, dtype=dtype)
 
-    step = jax.jit(lambda p, x, c: forward(p, cfg, x, c))
+    # donating the cache lets XLA update the ring buffers IN PLACE
+    # (dynamic_update_slice aliases the donated input) instead of copying
+    # the multi-hundred-MB SAB caches every frame
+    step = jax.jit(lambda p, x, c: forward(p, cfg, x, c),
+                   donate_argnums=(2,))
 
     rng = np.random.RandomState(0)
     frames = [jnp.asarray(rng.rand(b, 2, h, w, 3), dtype) for _ in range(4)]
