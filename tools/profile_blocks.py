@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 
-def timeit(fn, *args, iters=10):
+def timeit(fn, *args, iters=60):
     fn_j = jax.jit(fn)
     y = fn_j(*args)
     np.asarray(jax.tree.leaves(y)[0].ravel()[:2])

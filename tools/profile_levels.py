@@ -30,7 +30,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("size", nargs="*", type=int, default=[720, 1280])
     ap.add_argument("--opt", default="options/Turtle_Deblur_Gopro.yml")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=60)
     ap.add_argument("--kernels", default="xla,pallas")
     args = ap.parse_args()
     h0, w0 = (args.size + [720, 1280])[:2]

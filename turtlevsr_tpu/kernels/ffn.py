@@ -48,6 +48,10 @@ _LN_EPS = 1e-5
 # optimum: an 80MB budget gives S=8 strips (~9% faster in isolation) but
 # OOMs scoped vmem in the full bf16 720p graph (113MB > the 109MB cap).
 _VMEM_BUDGET = 48 * 1024 * 1024
+# tried 60MB for the gate kernel alone (S=8 strips, ~9% in isolation): with
+# the residual-pair inputs the real usage hits 112MB and OOMs scoped vmem —
+# 48MB stands as the measured optimum
+_VMEM_BUDGET_FFN = _VMEM_BUDGET
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
@@ -294,12 +298,13 @@ def _strip_mem(s: int, w: int, c: int, e: int) -> int:
             + 4 * s * w * c * 2)  # double-buffered main/out blocks
 
 
-def _pick_strip(h: int, w: int, c: int, e: int) -> int:
+def _pick_strip(h: int, w: int, c: int, e: int,
+                budget: int = _VMEM_BUDGET) -> int:
     """Rows per strip (divides h) fitting the VMEM budget; bigger strips
     amortise per-program overhead and give the MXU larger matmuls."""
     best = 0
     for s in range(1, min(h, 32) + 1):
-        if h % s == 0 and _strip_mem(s, w, c, e) <= _VMEM_BUDGET:
+        if h % s == 0 and _strip_mem(s, w, c, e) <= budget:
             best = s
     return best
 
@@ -643,7 +648,7 @@ def fused_block_ffn(x, *, x2=None, ln_w=None, ln_b=None, w1, b1=None,
     else:
         args = a0
 
-    s_rows = _pick_strip(h, w, c, e_dim)
+    s_rows = _pick_strip(h, w, c, e_dim, budget=_VMEM_BUDGET_FFN)
     assert s_rows, "no feasible strip size; use the XLA path"
     sw = s_rows * w
     n = sw + 2 * w
