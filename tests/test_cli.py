@@ -218,6 +218,23 @@ def test_infer_task_preset(workdir, tmp_path):
     assert "PSNR for video0:" in out  # GT = clean frames, inputs noised
 
 
+def test_infer_derain_y_channel_preset(workdir, tmp_path):
+    # --task derain: preset supplies y_channel=True metrics (the reference
+    # derain protocol computes PSNR/SSIM on the YCbCr Y plane,
+    # inference.py:313-327)
+    opts = tmp_path / "options"
+    opts.mkdir()
+    (opts / "Turtle_Derain.yml").write_text(
+        TINY_YML.format(root=workdir / "data"))
+    data = str(workdir / "data" / "blur")
+    out = _run(["turtlevsr_tpu.cli.infer", "--task", "derain",
+                "--data_dir", data, "--gt_dir",
+                str(workdir / "data" / "gt"), "--tile", "0",
+                "--max_frames", "2", "--kernels", "xla",
+                "--dtype", "float32"], cwd=str(tmp_path))
+    assert "PSNR for video0:" in out
+
+
 def test_denoise_noise_presampled_and_stable(workdir, tmp_path):
     """The reference pre-samples per-video noise to .npy so runs are
     comparable (inference.py:115-124); ours additionally pins the
