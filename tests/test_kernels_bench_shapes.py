@@ -38,6 +38,27 @@ def test_gffw_gate_kernel_at_bench_shape():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_gffw_pair_and_po_inputs():
+    """The FFN kernel's fused attention-residual (pair) and project_out
+    (po) inputs vs the XLA chain. The po path is capability-tested but
+    disabled in the model at c=64 (measured slower than the saved
+    traversal); the pair path is live."""
+    hid = 160
+    x = _rand(0, (1, H, W, C))
+    x2 = _rand(9, (1, H, W, C))
+    pw = _rand(8, (C, C)) * 0.2
+    pb = _rand(7, (C,)) * 0.1
+    p = dict(ln_w=_rand(1, (C,)) * 0.1 + 1.0, ln_b=_rand(2, (C,)) * 0.1,
+             w1=_rand(3, (C, 2 * hid)) * 0.1, wd=_rand(4, (3, 3, 2 * hid)),
+             w2=_rand(5, (hid, C)) * 0.1)
+    for extra in (dict(x2=x2), dict(x2=x2, po_w=pw, po_b=pb)):
+        got = fused_block_ffn(x, mode="gate", residual=True, interpret=True,
+                              **p, **extra)
+        want = _ffn_xla(x, dict(p, **extra), "gate", True, "with_bias")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, err_msg=str(extra.keys()))
+
+
 def test_qkv_split_proj_at_bench_shape():
     x = _rand(0, (1, H, W, C))
     projs = [dict(w1=_rand(10 + i, (C, C)) * 0.1, wd=_rand(20 + i, (3, 3, C)))

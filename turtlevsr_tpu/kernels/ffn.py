@@ -90,7 +90,7 @@ def _ln_2d(x, ln_w, ln_b, ln_mode):
 
 
 def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
-               e_dim, has_b1, residual, has_pair):
+               e_dim, has_b1, residual, has_pair, has_po):
     """Strip program: S image rows per step + one halo row each side (the
     halo rows arrive as separate clamped row blocks).
 
@@ -118,6 +118,7 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
 
     if has_pair:
         xa2, xm2, xb2 = take(3)
+        wpo, bpo = take(2) if has_po else (None, None)
     w1_a, wd9_a = take(2)
     w1_b, wd9_b = take(2) if mode == "gate" else (w1_a, wd9_a)
     sv_a = take(9) if has_b1 else None
@@ -133,13 +134,22 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
 
     if has_pair:
         # the block residual x + attn(x) fuses here: LN (and the final
-        # residual) see the SUM without it ever hitting HBM
-        x_top = (xa[0].astype(jnp.float32)
-                 + xa2[0].astype(jnp.float32)).astype(xm.dtype)
-        x_mid = (xm[0].astype(jnp.float32)
-                 + xm2[0].astype(jnp.float32)).astype(xm.dtype)
-        x_bot = (xb[0].astype(jnp.float32)
-                 + xb2[0].astype(jnp.float32)).astype(xm.dtype)
+        # residual) see the SUM without it ever hitting HBM. With has_po
+        # the attention branch arrives UNPROJECTED and its project_out
+        # (1x1) runs on the MXU here too — the projected map never exists.
+        def pair_sum(xr, x2r):
+            a2 = x2r[0]
+            if has_po:
+                a2 = jnp.dot(a2, wpo[:],
+                             preferred_element_type=jnp.float32
+                             ).astype(xm.dtype)
+                a2 = a2 + bpo[:].astype(xm.dtype)
+            return (xr[0].astype(jnp.float32)
+                    + a2.astype(jnp.float32)).astype(xm.dtype)
+
+        x_top = pair_sum(xa, xa2)
+        x_mid = pair_sum(xm, xm2)
+        x_bot = pair_sum(xb, xb2)
     else:
         x_top, x_mid, x_bot = xa[0], xm[0], xb[0]
     xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
@@ -559,9 +569,9 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
     return tuple(o.reshape(b, h, w, e_dim) for o in outs)
 
 
-def fused_block_ffn(x, *, x2=None, ln_w=None, ln_b=None, w1, b1=None,
-                    wd=None, bd=None, w2=None, b2=None, scale=None,
-                    mode: str, residual: bool = True,
+def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
+                    ln_b=None, w1, b1=None, wd=None, bd=None, w2=None,
+                    b2=None, scale=None, mode: str, residual: bool = True,
                     interpret: bool = False):
     """Apply the fused FFN chain to NHWC ``x`` (see module docstring).
 
@@ -569,7 +579,9 @@ def fused_block_ffn(x, *, x2=None, ln_w=None, ln_b=None, w1, b1=None,
     E = CH//2 for 'gate' else CH; scale: optional (C,) output scale.
     x2: optional second addend map — the block's attention branch; the
     kernel computes over (x + x2) so the residual sum never hits HBM
-    (dw path only).
+    (dw path only). po_w (C, C) / po_b: optional projection applied to x2
+    in-kernel (the attention project_out), so the projected map never
+    materialises either.
     """
     b, h, w, c = x.shape
     ch = w1.shape[1]
@@ -672,7 +684,7 @@ def fused_block_ffn(x, *, x2=None, ln_w=None, ln_b=None, w1, b1=None,
     kernel = functools.partial(
         _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
         e_dim=e_dim, has_b1=has_b1, residual=residual,
-        has_pair=x2 is not None)
+        has_pair=x2 is not None, has_po=po_w is not None)
     last_row = h - 1
     s_ = s_rows
     halo_specs = [
@@ -694,6 +706,10 @@ def fused_block_ffn(x, *, x2=None, ln_w=None, ln_b=None, w1, b1=None,
         x2f = x2.reshape(b, h * w, c)
         inputs += [x2f, x2f, x2f]
         in_specs += list(halo_specs)
+        if po_w is not None:
+            inputs += [po_w.astype(dt),
+                       (po_b if po_b is not None else jnp.zeros((c,), dt))]
+            in_specs += [vmem(), vmem()]
     inputs += args
     in_specs += [vmem()] * len(args)
     return pl.pallas_call(

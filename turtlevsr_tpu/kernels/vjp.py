@@ -36,7 +36,14 @@ def _dwconv_xla(h, wd, bd):
 def _ffn_xla(x, p, mode, residual, ln_mode):
     """The jnp reference of fused_block_ffn (see kernels/ffn.py)."""
     if p.get("x2") is not None:
-        x = x + p["x2"]  # fused attention-residual add
+        x2 = p["x2"]
+        if p.get("po_w") is not None:  # fused attention project_out
+            c = x2.shape[-1]
+            x2 = jnp.dot(x2.reshape(-1, c), p["po_w"],
+                         preferred_element_type=x2.dtype).reshape(x2.shape)
+            if p.get("po_b") is not None:
+                x2 = x2 + p["po_b"]
+        x = x + x2  # fused attention-residual add
     xn = _ln_xla(x, p, ln_mode)
     c = x.shape[-1]
     h = jnp.einsum("bhwc,ce->bhwe", xn, p["w1"])
@@ -67,7 +74,7 @@ def ffn_op(x, p, statics):
     kw = dict(ln_w=p.get("ln_w"), ln_b=p.get("ln_b"), w1=p["w1"],
               b1=p.get("b1"), wd=p.get("wd"), bd=p.get("bd"),
               w2=p.get("w2"), b2=p.get("b2"), scale=p.get("scale"),
-              x2=p.get("x2"))
+              x2=p.get("x2"), po_w=p.get("po_w"), po_b=p.get("po_b"))
     if mode == "linear":
         return fused_ln_qkv_dw(x, ln_w=kw["ln_w"], ln_b=kw["ln_b"],
                                w1=kw["w1"], b1=kw["b1"], wd=kw["wd"],
@@ -93,7 +100,7 @@ ffn_op.defvjp(_ffn_fwd, _ffn_bwd)
 
 def call_fused_ffn(x, *, mode, residual=True, interpret=False, ln_w=None,
                    ln_b=None, w1, b1=None, wd=None, bd=None, w2=None,
-                   b2=None, scale=None, x2=None):
+                   b2=None, scale=None, x2=None, po_w=None, po_b=None):
     """Differentiable fused FFN/projection (drop-in for fused_block_ffn /
     fused_ln_qkv_dw). Weight layout: w1 (C, CH), wd (3, 3, CH), w2 (E, C).
     x2: optional fused second addend (the attention branch's residual)."""
@@ -101,7 +108,7 @@ def call_fused_ffn(x, *, mode, residual=True, interpret=False, ln_w=None,
                else ("bias_free" if ln_b is None else "with_bias"))
     p = {k: v for k, v in dict(ln_w=ln_w, ln_b=ln_b, w1=w1, b1=b1, wd=wd,
                                bd=bd, w2=w2, b2=b2, scale=scale,
-                               x2=x2).items()
+                               x2=x2, po_w=po_w, po_b=po_b).items()
          if v is not None}
     return ffn_op(x, p, (mode, residual, ln_mode, interpret))
 

@@ -239,7 +239,7 @@ def fhr_init(key, dim: int, heads: int, bias: bool, dtype=jnp.float32) -> dict:
 
 
 def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
-                hist_valid=None, ln=None, spec=None):
+                hist_valid=None, ln=None, spec=None, skip_po=False):
     """Core of FHR/ChannelAttention: channel-token cross attention of the
     current frame over [history ‖ current] keys/values.
 
@@ -311,7 +311,8 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
         out = jnp.einsum("bhcd,blhd->blhc", attn, v,
                          preferred_element_type=ad)
     out = out.astype(x.dtype).reshape(b, h, w, c)
-    out = _conv(params["project_out"], out)
+    if not skip_po:  # else project_out fuses into the FFN kernel
+        out = _conv(params["project_out"], out)
 
     # cache-layout current tokens (normalised k, raw v), (B, heads, ctok, L)
     k_cache = (k.astype(ad) / nk[:, None]).astype(x.dtype)
@@ -320,23 +321,27 @@ def _fhr_attend(params, x, heads: int, k_hist=None, v_hist=None,
     return out, k_cache, v_cache
 
 
-def channel_attention_apply(params, x, heads: int, ln=None, spec=None):
-    out, _, _ = _fhr_attend(params, x, heads, ln=ln, spec=spec)
+def channel_attention_apply(params, x, heads: int, ln=None, spec=None,
+                            skip_po=False):
+    out, _, _ = _fhr_attend(params, x, heads, ln=ln, spec=spec,
+                            skip_po=skip_po)
     return out, None
 
 
 def fhr_apply(params, x, heads: int, slot: Optional[dict], ln=None,
-              spec=None):
+              spec=None, skip_po=False):
     """Standalone FHR with its ring-buffer slot (latent blocks)."""
     if slot is not None:
         ctok = x.shape[-1] // heads
         n_frames = slot["k"].shape[2] // ctok
         hist_valid = token_valid_mask(slot["n"], n_frames, ctok)
         out, k, v = _fhr_attend(params, x, heads, slot["k"], slot["v"],
-                                hist_valid, ln=ln, spec=spec)
+                                hist_valid, ln=ln, spec=spec,
+                                skip_po=skip_po)
         new_slot = fhr_slot_append(slot, k, v)
     else:
-        out, k, v = _fhr_attend(params, x, heads, ln=ln, spec=spec)
+        out, k, v = _fhr_attend(params, x, heads, ln=ln, spec=spec,
+                                skip_po=skip_po)
         new_slot = None
     return out, new_slot
 
@@ -548,7 +553,7 @@ def _safe_norm(ss):
 
 
 def chm_apply(params, x, heads: int, ws: int, variant: str,
-              slot: Optional[dict], ln=None, spec=None):
+              slot: Optional[dict], ln=None, spec=None, skip_po=False):
     """turtle_arch.py:535-585: aligned = SAB(x, cache); K,V embeddings of all
     aligned frames (frame-major channel tokens); FHR cross-attends the
     current frame over them. The returned cache is SAB's.
@@ -616,7 +621,8 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
     out = out + jnp.einsum("bhcd,blhd->blhc", a_c, v,
                            preferred_element_type=ad)
     out = out.astype(x.dtype).reshape(b, h, w, c)
-    out = _conv(ca["project_out"], out)
+    if not skip_po:  # else project_out fuses into the FFN kernel
+        out = _conv(ca["project_out"], out)
     return out, new_slot
 
 
@@ -687,11 +693,12 @@ def _ffn_half_supported(params, x, spec: BlockSpec) -> bool:
     return ffn_pallas_supported(h, w, c, 2 * c, False)
 
 
-def _fused_ffn_half(params, x, spec: BlockSpec, x2=None):
-    """(x [+ x2]) + FFN(norm2(x [+ x2])) as one fused Pallas pass
+def _fused_ffn_half(params, x, spec: BlockSpec, x2=None, po=None):
+    """(x [+ po(x2)]) + FFN(norm2(x [+ po(x2)])) as one fused Pallas pass
     (kernels/ffn.py), differentiable via kernels/vjp.py. ``x2`` is the
-    attention branch — fusing its residual add here saves materialising
-    the summed map (dw/GFFW path only)."""
+    attention branch (pre-projection when ``po`` — its project_out conv —
+    is given): both the projected map and the residual sum stay in VMEM
+    (dw/GFFW path only)."""
     from turtlevsr_tpu.kernels.vjp import call_fused_ffn as fused_block_ffn
 
     ln = params["norm2"]["body"]
@@ -700,7 +707,10 @@ def _fused_ffn_half(params, x, spec: BlockSpec, x2=None):
     if spec.ffw_type == "GFFW":
         hid = p["project_in"]["weight"].shape[-1]
         return fused_block_ffn(
-            x, x2=x2, ln_w=ln["weight"], ln_b=ln.get("bias"),
+            x, x2=x2,
+            po_w=None if po is None else po["weight"].reshape(c, c),
+            po_b=None if po is None else po.get("bias"),
+            ln_w=ln["weight"], ln_b=ln.get("bias"),
             w1=p["project_in"]["weight"].reshape(c, hid),
             b1=p["project_in"].get("bias"),
             wd=p["dwconv"]["weight"].reshape(3, 3, hid),
@@ -709,6 +719,8 @@ def _fused_ffn_half(params, x, spec: BlockSpec, x2=None):
             b2=p["project_out"].get("bias"),
             mode="gate", interpret=_pallas_interpret())
     if x2 is not None:  # FFW (no-dw) path has no pair input
+        if po is not None:
+            x2 = _conv(po, x2)
         x = x + x2
     return fused_block_ffn(
         x, ln_w=ln["weight"], ln_b=ln.get("bias"),
@@ -751,25 +763,34 @@ def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
         # the attention funcs take the RAW x plus the norm1 affine so the
         # LN can fuse into their projection kernels
         ln = _ln_args(params, "norm1")
+        # the FFN kernel can also absorb the attention's project_out
+        # (pair + po inputs) but that measured SLOWER on the bench (4.52 vs
+        # 4.56 fps: the in-kernel K=N=64 po matmul on halo'd rows costs
+        # more than the saved map traversal) — keep only the residual-add
+        # fusion; the po capability stays tested for wider-channel configs
+        skip_po = False
         if t == "Channel":
             a, new_slot = channel_attention_apply(params["attn"], x,
                                                   spec.num_heads, ln=ln,
-                                                  spec=spec)
+                                                  spec=spec, skip_po=skip_po)
         elif t == "ReducedAttn":
             a, new_slot = reduced_attn_apply(params["attn"],
                                              _ln(params["norm1"], x))
         elif t == "FHR":
             a, new_slot = fhr_apply(params["attn"], x, spec.num_heads, slot,
-                                    ln=ln, spec=spec)
+                                    ln=ln, spec=spec, skip_po=skip_po)
         elif t == "CHM":
             a, new_slot = chm_apply(params["attn"], x, spec.num_heads,
                                     spec.window_size, spec.variant, slot,
-                                    ln=ln, spec=spec)
+                                    ln=ln, spec=spec, skip_po=skip_po)
         else:
             raise ValueError(t)
         if fused:
-            # the attention residual fuses into the FFN kernel's pair input
-            return _fused_ffn_half(params, x, spec, x2=a), new_slot
+            po = None
+            if skip_po:
+                po = (params["attn"]["ChanAttn"]["project_out"]
+                      if t == "CHM" else params["attn"]["project_out"])
+            return _fused_ffn_half(params, x, spec, x2=a, po=po), new_slot
         x = x + a
     if fused:
         return _fused_ffn_half(params, x, spec), new_slot
