@@ -114,6 +114,33 @@ def test_tiled_engine_matches_reference_protocol_t0():
                                    err_msg=f"frame {t}")
 
 
+def test_tiled_engine_prime_tile_count_chunks_with_padding():
+    """A prime tile count must not degenerate to chunk=1: the grid is
+    zero-padded to a multiple of the chosen chunk and the padded tiles'
+    outputs discarded, leaving results identical to the one-batch path."""
+    opt = tiny_opt("Turtle_t1_arch")
+    ref = build_reference_model(opt, dtype="float32")
+    cfg = model_config_from_options(opt)
+    params = params_from_torch_state_dict(ref.state_dict(), dtype=jnp.float64)
+
+    rng = np.random.RandomState(11)
+    # 48x88 with tile 48 / overlap 38 -> 1x5 = 5 tiles (prime)
+    frames = [rng.rand(48, 88, 3).astype(np.float32) for _ in range(2)]
+
+    eng_full = InferenceEngine(cfg, params, mode="tiled", tile=48,
+                               tile_overlap=38, dtype=jnp.float64,
+                               max_tile_batch=12)
+    eng_chunk = InferenceEngine(cfg, params, mode="tiled", tile=48,
+                                tile_overlap=38, dtype=jnp.float64,
+                                max_tile_batch=2)
+    assert eng_chunk._tile_chunk(5) == 2  # pads 5 -> 6, not 5x chunk=1
+    for t, fr in enumerate(frames):
+        want = eng_full.step(fr)
+        got = eng_chunk.step(fr)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"frame {t}")
+
+
 def test_whole_engine_sr_matches_reference_protocol():
     """SR whole-frame protocol (inference.py:296-311): inputs bicubic /4,
     model upsamples x4, output cropped to the HR size."""

@@ -46,7 +46,8 @@ def test_pth_file_roundtrip(tmp_path):
     blob = torch.load(path, map_location="cpu", weights_only=True)
     assert set(blob) == {"params"}
     # the exported .pth must load into the torch reference strictly
-    missing, unexpected = model.load_state_dict(blob["params"], strict=True), None
+    result = model.load_state_dict(blob["params"], strict=True)
+    assert not result.missing_keys and not result.unexpected_keys
     for k, v in blob["params"].items():
         np.testing.assert_array_equal(
             v.numpy(), sd[k].detach().cpu().numpy().astype(np.float32),

@@ -68,11 +68,16 @@ def prepare_noisy_frames(frames, video_name: str, noise_sigma: float,
     later run, so scores are comparable across runs at the 0.05 dB bar.
     Noise is gaussian sigma/255 per frame on the [0,1] GT. Returns the list
     of noisy-frame .npy paths (sorted)."""
+    # seed 0 keeps the reference's on-disk layout ({video}_{sigma},
+    # inference.py:115-124); a non-default seed gets its own folder so
+    # changing --seed is never silently ignored by a stale cache
+    suffix = "" if seed == 0 else f"_s{seed}"
     folder = os.path.join(noisy_root, dataset_name,
-                          f"{video_name}_{int(noise_sigma)}")
+                          f"{video_name}_{int(noise_sigma)}{suffix}")
     os.makedirs(folder, exist_ok=True)
     existing = sorted(glob.glob(os.path.join(folder, "*.npy")))
     if len(existing) == len(frames):
+        print(f"reusing pre-sampled noisy frames in {folder}")
         return existing
     rng = np.random.RandomState(stable_video_seed(seed, video_name))
     paths = []

@@ -61,6 +61,10 @@ def build_validation(cfg, val_opt, opt):
 
     def validate(params, dataset, max_clips=None, current_iter=0):
         fwd = jax.jit(lambda p, x, c: forward(p, cfg, x, c))
+        # validation runs at the eval dtype end to end: cast the (fp32
+        # train) params once so the forward isn't accidentally
+        # mixed-precision (bf16 inputs against fp32 weights)
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         sums = {name: 0.0 for name in metrics_opt}
         cnt = 0
         n = len(dataset) if max_clips is None else min(len(dataset),

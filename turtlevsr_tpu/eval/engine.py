@@ -137,12 +137,17 @@ class InferenceEngine:
         return init_cache(cfg, n_tiles, tin, tin, dtype=self.dtype)
 
     def _tile_chunk(self, n_tiles: int) -> int:
-        """Largest divisor of n_tiles within max_tile_batch (mesh mode runs
-        the full grid — chips share the batch)."""
+        """Chunk size for sequencing the tile grid (mesh mode runs the full
+        grid — chips share the batch). Prefers an exact divisor; otherwise
+        the grid is zero-padded to a multiple of the chunk, choosing the
+        chunk that minimises the padded total — so a prime tile count never
+        degenerates to chunk=1 (47 tiles run as 6x8, not 47x1)."""
         if self.mesh is not None or n_tiles <= self.max_tile_batch:
             return n_tiles
-        return max(d for d in range(1, self.max_tile_batch + 1)
-                   if n_tiles % d == 0)
+        # fewest sequential chunks first (small batches are latency-bound),
+        # then least padding waste
+        return min(range(1, self.max_tile_batch + 1),
+                   key=lambda d: (-(-n_tiles // d), -(-n_tiles // d) * d))
 
     def _grid_size(self, h: int, w: int):
         hp, wp = _pad8(h, w)
@@ -203,13 +208,28 @@ class InferenceEngine:
                 outs, cache = forward(params, cfg, x, cache)
             else:
                 # sequence the grid through lax.map chunks so one chunk's
-                # activations bound peak HBM (all caches stay on device)
-                nc = n_tiles // chunk
+                # activations bound peak HBM (all caches stay on device);
+                # non-divisor chunks zero-pad the grid (padded tiles are
+                # computed and discarded — cheaper than chunk=1 on primes)
+                nc = -(-n_tiles // chunk)
+                n_pad = nc * chunk
+                if n_pad != n_tiles:
+                    extra = n_pad - n_tiles
+
+                    def pad_tiles(a):
+                        if getattr(a, "ndim", 0) and a.shape[0] == n_tiles:
+                            return jnp.concatenate(
+                                [a, jnp.zeros((extra,) + a.shape[1:],
+                                              a.dtype)], axis=0)
+                        return a
+
+                    x = pad_tiles(x)
+                    cache = jax.tree.map(pad_tiles, cache)
 
                 xs = x.reshape(nc, chunk, *x.shape[1:])
                 cache_c = jax.tree.map(
                     lambda a: a.reshape(nc, chunk, *a.shape[1:])
-                    if getattr(a, "ndim", 0) and a.shape[0] == n_tiles
+                    if getattr(a, "ndim", 0) and a.shape[0] == n_pad
                     else jnp.broadcast_to(a, (nc,) + a.shape), cache)
 
                 def one(chunk_args):
@@ -217,9 +237,9 @@ class InferenceEngine:
                     return forward(params, cfg, xc, cc)
 
                 outs_c, cache_c = jax.lax.map(one, (xs, cache_c))
-                outs = outs_c.reshape(n_tiles, *outs_c.shape[2:])
+                outs = outs_c.reshape(n_pad, *outs_c.shape[2:])[:n_tiles]
                 cache = jax.tree.map(
-                    lambda a: (a.reshape(n_tiles, *a.shape[2:])
+                    lambda a: (a.reshape(n_pad, *a.shape[2:])[:n_tiles]
                                if a.ndim >= 2 and a.shape[0] == nc
                                and a.shape[1] == chunk else a[0]), cache_c)
 

@@ -299,32 +299,37 @@ def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _strip_mem(s: int, w: int, c: int, e: int) -> int:
+def _strip_mem(s: int, w: int, c: int, e: int, has_pair: bool = False) -> int:
     n = (s + 2) * w
-    return (n * c * 6            # fp32 LN scratch + cast copy
-            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
-            + 4 * s * w * e * 4  # acc/hdb/gelu transients
-            + 3 * s * w * c * 4  # out accumulator, residual
-            + 4 * s * w * c * 2)  # double-buffered main/out blocks
+    mem = (n * c * 6            # fp32 LN scratch + cast copy
+           + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
+           + 4 * s * w * e * 4  # acc/hdb/gelu transients
+           + 3 * s * w * c * 4  # out accumulator, residual
+           + 4 * s * w * c * 2)  # double-buffered main/out blocks
+    if has_pair:
+        # x2 streams in as three more blocked inputs (halo above / main /
+        # halo below), double-buffered, plus the po weight matrix
+        mem += 4 * s * w * c * 2 + 8 * w * c * 2 + 2 * c * c * 2
+    return mem
 
 
 def _pick_strip(h: int, w: int, c: int, e: int,
-                budget: int = _VMEM_BUDGET) -> int:
+                budget: int = _VMEM_BUDGET, has_pair: bool = False) -> int:
     """Rows per strip (divides h) fitting the VMEM budget; bigger strips
     amortise per-program overhead and give the MXU larger matmuls."""
     best = 0
     for s in range(1, min(h, 32) + 1):
-        if h % s == 0 and _strip_mem(s, w, c, e) <= budget:
+        if h % s == 0 and _strip_mem(s, w, c, e, has_pair) <= budget:
             best = s
     return best
 
 
 def ffn_pallas_supported(h: int, w: int, c: int, e_dim: int,
-                         has_dw: bool) -> bool:
+                         has_dw: bool, has_pair: bool = False) -> bool:
     """e_dim = per-gate-half hidden width (CH//2 for gate, CH otherwise)."""
     if w % 8 or e_dim % 2:
         return False
-    if has_dw and _pick_strip(h, w, c, e_dim) == 0:
+    if has_dw and _pick_strip(h, w, c, e_dim, has_pair=has_pair) == 0:
         return False
     return True
 
@@ -660,7 +665,8 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     else:
         args = a0
 
-    s_rows = _pick_strip(h, w, c, e_dim, budget=_VMEM_BUDGET_FFN)
+    s_rows = _pick_strip(h, w, c, e_dim, budget=_VMEM_BUDGET_FFN,
+                         has_pair=x2 is not None)
     assert s_rows, "no feasible strip size; use the XLA path"
     sw = s_rows * w
     n = sw + 2 * w

@@ -689,7 +689,11 @@ def _ffn_half_supported(params, x, spec: BlockSpec) -> bool:
             return False
     if spec.ffw_type == "GFFW":
         hid = params["ffn"]["project_in"]["weight"].shape[-1]
-        return ffn_pallas_supported(h, w, c, hid // 2, True)
+        # attention blocks stream their branch in as the kernel's pair
+        # input (x2), which costs extra VMEM — account for it in the gate
+        has_pair = spec.attn_type not in ("NoAttn", "ReducedAttn")
+        return ffn_pallas_supported(h, w, c, hid // 2, True,
+                                    has_pair=has_pair)
     return ffn_pallas_supported(h, w, c, 2 * c, False)
 
 
@@ -764,10 +768,13 @@ def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
         # LN can fuse into their projection kernels
         ln = _ln_args(params, "norm1")
         # the FFN kernel can also absorb the attention's project_out
-        # (pair + po inputs) but that measured SLOWER on the bench (4.52 vs
-        # 4.56 fps: the in-kernel K=N=64 po matmul on halo'd rows costs
-        # more than the saved map traversal) — keep only the residual-add
-        # fusion; the po capability stays tested for wider-channel configs
+        # (pair + po inputs), saving one full-map write + read per block.
+        # Measured on the 720p bench: C=64 4.52 vs 4.56 fps, and gating it
+        # to the wide levels only (C>=128) STILL lost (4.542 vs 4.566) —
+        # the in-kernel po matmul on halo'd rows plus the extra streamed
+        # block outweigh the saved traversal at every level on this chip.
+        # The capability stays tested (test_kernels_bench_shapes) for
+        # configs where the balance differs.
         skip_po = False
         if t == "Channel":
             a, new_slot = channel_attention_apply(params["attn"], x,

@@ -23,7 +23,9 @@ def conv2d(x, weight, bias=None, *, stride: int = 1, padding: int = 0,
     kh, kw = weight.shape[:2]
     if kh == kw == 1 and stride == 1 and padding == 0 and groups == 1:
         # 1x1 conv as a flat matmul: XLA's conv lowering leaves ~2x on the
-        # table at full-res C=64 maps (measured 5.3 vs 2.8 ms at 736x1280)
+        # table at full-res C=64 maps (measured 5.3 vs 2.8 ms at 736x1280).
+        # The weight cast to x.dtype is intentional and matches the
+        # lax.conv path below (which also computes in x.dtype).
         b, h, w, cin = x.shape
         y = jnp.dot(x.reshape(b * h * w, cin), weight.reshape(cin, -1).astype(x.dtype),
                     preferred_element_type=x.dtype)

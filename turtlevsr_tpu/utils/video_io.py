@@ -59,6 +59,13 @@ def frames_to_video(frames_dir: str, output_path: str, fps: float = 30.0,
     return len(files)
 
 
+def _imread_checked(cv2, path: str):
+    img = cv2.imread(path)
+    if img is None:
+        raise IOError(f"cv2.imread failed to decode frame: {path}")
+    return img
+
+
 def side_by_side_video(input_dir: str, pred_dir: str, output_path: str,
                        fps: float = 20.0) -> int:
     """Input | prediction horizontally stacked per frame (app.py:93-147)."""
@@ -70,13 +77,17 @@ def side_by_side_video(input_dir: str, pred_dir: str, output_path: str,
     n = min(len(in_files), len(pr_files))
     if n == 0:
         raise FileNotFoundError("no frame pairs")
-    first = cv2.imread(in_files[0])
+    # the prediction's resolution is canonical (SR outputs are larger than
+    # the input): the INPUT is upscaled to match, like restore_image
+    first = _imread_checked(cv2, pr_files[0])
     h, w = first.shape[:2]
     vw = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                          (w * 2, h))
     for i in range(n):
-        a = cv2.imread(in_files[i])
-        b = cv2.imread(pr_files[i])
+        a = _imread_checked(cv2, in_files[i])
+        b = _imread_checked(cv2, pr_files[i])
+        if a.shape[:2] != (h, w):
+            a = cv2.resize(a, (w, h))
         if b.shape[:2] != (h, w):
             b = cv2.resize(b, (w, h))
         vw.write(np.hstack((a, b)))
@@ -96,14 +107,16 @@ def comparison_slider_video(input_dir: str, pred_dir: str, output_path: str,
     n = min(len(in_files), len(pr_files))
     if n == 0:
         raise FileNotFoundError("no frame pairs")
-    first = cv2.imread(in_files[0])
+    first = _imread_checked(cv2, pr_files[0])
     h, w = first.shape[:2]
     vw = cv2.VideoWriter(output_path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
                          (w, h))
     period = max(n, 2)
     for i in range(n):
-        a = cv2.imread(in_files[i])
-        b = cv2.imread(pr_files[i])
+        a = _imread_checked(cv2, in_files[i])
+        b = _imread_checked(cv2, pr_files[i])
+        if a.shape[:2] != (h, w):
+            a = cv2.resize(a, (w, h))
         if b.shape[:2] != (h, w):
             b = cv2.resize(b, (w, h))
         # triangle wave 0 -> 1 -> 0 across the clip
