@@ -98,3 +98,44 @@ def test_sab_probs_at_bench_window_grid():
     got = sab_fused_attn_probs(q, kt, lm, temp, interpret=True)
     want = _sab_attn_probs_xla(q, kt, lm, temp)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+
+
+def test_sab_av_merge_slot_tiled():
+    """Slot-tiled attention@v + lattice merge (kernels/sab.py
+    sab_attn_v_merge) vs the einsum + reference-merge chain
+    (turtle_t1_arch.py:601-607), at both slot widths: c=64 (pair mode,
+    dec1) and c=128 (direct, dec2)."""
+    from turtlevsr_tpu.kernels.sab import sab_attn_v_merge
+    from turtlevsr_tpu.kernels.vjp import _av_merge_xla
+
+    for c, ws, hh, ww in ((64, 4, 8, 16), (128, 4, 8, 16)):
+        h, w = hh * ws, ww * ws
+        hw = hh * ww
+        d = ws * ws * c
+        a = jax.nn.softmax(_rand(0, (3, hw, hw)), axis=-1)
+        v = _rand(1, (3, hw, d))
+        got = sab_attn_v_merge(a, v, ws, h, w, interpret=True)
+        want = _av_merge_xla(a, v, ws, h, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, err_msg=f"c={c}")
+
+
+def test_sab_av_merge_gradients():
+    from turtlevsr_tpu.kernels.vjp import _av_merge_xla, sab_av_merge_op
+
+    c, ws, hh, ww = 64, 4, 8, 16
+    h, w = hh * ws, ww * ws
+    hw = hh * ww
+    a = jax.nn.softmax(_rand(3, (2, hw, hw)), axis=-1)
+    v = _rand(4, (2, hw, ws * ws * c))
+
+    def loss_k(a, v):
+        return jnp.sum(sab_av_merge_op(a, v, (ws, h, w, True)) ** 2)
+
+    def loss_x(a, v):
+        return jnp.sum(_av_merge_xla(a, v, ws, h, w) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(a, v)
+    gx = jax.grad(loss_x, argnums=(0, 1))(a, v)
+    for g1, g2 in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)

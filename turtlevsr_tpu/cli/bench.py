@@ -78,6 +78,71 @@ def bench_train_step(args, opt, cfg, dtype):
     }))
 
 
+def bench_numerics(args, opt, cfg, dtype):
+    """Deployment-precision numerics artifact: one synthetic 720p clip
+    through the SHIPPED pipeline (bf16 activations + pallas kernels) vs the
+    fp32 XLA path, per-frame PSNR between the two outputs, written to
+    NUMERICS.json. This bounds the deviation of everything the fast path
+    changes (kernel fusion, bf16 rounding, fp32-scratch tap order) at the
+    scale that actually ships — the substantiation of the 0.05 dB bar at
+    deployment precision."""
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from turtlevsr_tpu.models.turtle import forward, init_cache, init_params
+
+    h, w = args.size
+    n_frames = 4
+    params32 = init_params(jax.random.PRNGKey(0), cfg)
+    cfg_x = dataclasses.replace(cfg, kernels="xla")
+    cfg_p = dataclasses.replace(cfg, kernels="pallas")
+    params16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params32)
+
+    rng = np.random.RandomState(0)
+    frames = rng.rand(n_frames, 1, h, w, 3).astype(np.float32)
+
+    step_x = jax.jit(lambda p, xx, c: forward(p, cfg_x, xx, c))
+    step_p = jax.jit(lambda p, xx, c: forward(p, cfg_p, xx, c))
+    cache_x = init_cache(cfg_x, 1, h, w, dtype=jnp.float32)
+    cache_p = init_cache(cfg_p, 1, h, w, dtype=jnp.bfloat16)
+
+    psnrs = []
+    prev = frames[0]
+    for t in range(n_frames):
+        pair = np.stack([prev, frames[t]], axis=1)
+        out_x, cache_x = step_x(params32, jnp.asarray(pair, jnp.float32),
+                                cache_x)
+        out_p, cache_p = step_p(params16, jnp.asarray(pair, jnp.bfloat16),
+                                cache_p)
+        ox = np.asarray(out_x, np.float64)
+        op = np.asarray(out_p, np.float64)
+        mse = float(np.mean((ox - op) ** 2))
+        psnrs.append(round(10 * np.log10(1.0 / max(mse, 1e-30)), 2))
+        print(f"frame {t}: PSNR(bf16+pallas vs fp32+xla) = {psnrs[-1]} dB",
+              flush=True)
+        prev = frames[t]
+
+    art = {
+        "metric": "psnr_bf16_pallas_vs_fp32_xla_720p",
+        "per_frame_db": psnrs,
+        "min_db": min(psnrs),
+        "size": [h, w],
+        "opt": os.path.basename(args.opt),
+        "note": "synthetic random clip (worst-case high-frequency input); "
+                "PSNR of the shipped bf16+pallas pipeline against the fp32 "
+                "XLA reference path, streaming cache threaded through both",
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "..", "NUMERICS.json")
+    with open(os.path.normpath(out_path), "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({"metric": art["metric"], "value": art["min_db"],
+                      "unit": "dB"}))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-opt", "--opt", required=True)
@@ -95,6 +160,10 @@ def main():
                         "recipe (batch_size_per_gpu, n_sequence, "
                         "patch_size) instead of inference; prints a "
                         "train_step_ms JSON line")
+    p.add_argument("--numerics", action="store_true",
+                   help="write NUMERICS.json: per-frame PSNR of the shipped "
+                        "bf16+pallas pipeline vs the fp32 XLA path at "
+                        "--size (use 720 1280 for the deployment artifact)")
     args = p.parse_args()
 
     import jax
@@ -110,6 +179,8 @@ def main():
 
     if args.train_step:
         return bench_train_step(args, opt, cfg, dtype)
+    if args.numerics:
+        return bench_numerics(args, opt, cfg, dtype)
 
     params = jax.tree.map(lambda a: a.astype(dtype),
                           init_params(jax.random.PRNGKey(0), cfg))

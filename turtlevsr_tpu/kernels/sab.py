@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -131,6 +132,142 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, k_top: int = 5,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
     )(q, kt, local_mask[None], temp2).reshape(b, nf, hwq, hwk)
+
+
+def _av_kernel(a_ref, v_ref, out_ref):
+    out_ref[0, 0] = jnp.dot(a_ref[0], v_ref[0],
+                            preferred_element_type=jnp.float32
+                            ).astype(out_ref.dtype)
+
+
+def _av_pair_kernel(a_ref, v_ref, e0, e1, oe_ref, oo_ref):
+    """c_slot == 64: the 128-lane v block is a PAIR of adjacent slots; the
+    pair matmul keeps the MXU full (N=128) and the two slot halves are
+    separated afterwards with constant 0/1 selection matmuls (in-kernel
+    64-lane slicing is a Mosaic hang trigger; selection by matmul is exact —
+    each output element is a single-term sum — and commutes with the bf16
+    cast)."""
+    pair = jnp.dot(a_ref[0], v_ref[0],
+                   preferred_element_type=jnp.float32).astype(oe_ref.dtype)
+    oe_ref[0, 0] = jnp.dot(pair, e0[:], preferred_element_type=jnp.float32
+                           ).astype(oe_ref.dtype)
+    oo_ref[0, 0] = jnp.dot(pair, e1[:], preferred_element_type=jnp.float32
+                           ).astype(oo_ref.dtype)
+
+
+def _av_rows(hw: int) -> int:
+    """Largest divisor of hw keeping the double-buffered (R, hw) a-block
+    within ~16MB."""
+    best = 8
+    for r in range(8, hw + 1):
+        if hw % r == 0 and 4 * r * hw * 2 <= 32 * 1024 * 1024:
+            best = r
+    return best
+
+
+def sab_av_slots_supported(hw: int, d: int, c_slot: int) -> bool:
+    if hw % 8 or d % c_slot:
+        return False
+    return c_slot == 64 or c_slot % 128 == 0
+
+
+def sab_attn_v_slots(a, v, c_slot: int, interpret: bool = False):
+    """Slot-tiled attention @ values: a (BN, HW, HW) probabilities, v
+    (BN, HW, D) lattice-layout window values with D = n_slots * c_slot
+    (feature order (p1, p2, c) — turtle_arch.py:487-492). Returns
+    (BN, n_slots, HW, c_slot) with out[s] = a @ v[..., s*c:(s+1)*c].
+
+    Identical math to the dense einsum, but the slot-major OUTPUT layout
+    makes the downstream lattice merge (turtle_t1_arch.py:601-607) a
+    coarse-grained transpose: (HW, c) rows reshape FREELY to the (hh, ww*c)
+    map tile, so the merge moves contiguous ww*c-element runs instead of
+    c-element runs (XLA's 6-D fine-grained transpose runs ~4x off
+    bandwidth; the coarse one rides at memcpy speed)."""
+    bn, hw, d = v.shape
+    r = _av_rows(hw)
+    if c_slot >= 128:
+        n_slots = d // c_slot
+        grid = (bn, hw // r, n_slots)
+        return pl.pallas_call(
+            _av_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, r, hw), lambda b, q, s: (b, q, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, hw, c_slot), lambda b, q, s: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, r, c_slot),
+                                   lambda b, q, s: (b, s, q, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bn, n_slots, hw, c_slot),
+                                           a.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT,
+                dimension_semantics=("parallel", "parallel", "parallel")),
+            interpret=interpret,
+        )(a, v)
+    # c_slot == 64: pair mode
+    assert c_slot == 64
+    n_pairs = d // 128
+    e = np.zeros((128, 128), np.float32)
+    e[np.arange(128), np.arange(128)] = 1.0
+    e0 = jnp.asarray(e[:, :64], a.dtype)
+    e1 = jnp.asarray(e[:, 64:], a.dtype)
+    grid = (bn, hw // r, n_pairs)
+    oe, oo = pl.pallas_call(
+        _av_pair_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, r, hw), lambda b, q, s: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, 128), lambda b, q, s: (b, 0, s),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, r, 64), lambda b, q, s: (b, s, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r, 64), lambda b, q, s: (b, s, q, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bn, n_pairs, hw, 64), a.dtype),
+            jax.ShapeDtypeStruct((bn, n_pairs, hw, 64), a.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "parallel", "parallel")),
+        interpret=interpret,
+    )(a, v, e0, e1)
+    return oe, oo
+
+
+def sab_attn_v_merge(a, v, ws: int, h: int, w: int,
+                     interpret: bool = False):
+    """attention @ window-values followed by the lattice un-split, fused:
+    a (BN, HW, HW), v (BN, HW, ws*ws*c) -> merged maps (BN, h, w, c).
+
+    Exactly einsum('bqk,bkd->bqd') + the reference merge
+    rearrange('b (hh ww) (p1 p2 c) -> b (p1 hh) (p2 ww) c'
+    (turtle_t1_arch.py:601-607) — but via the slot-tiled kernel the merge
+    is a pure reshape + coarse transpose (contiguous ww*c runs)."""
+    bn, hw, d = v.shape
+    c = d // (ws * ws)
+    hh, ww = h // ws, w // ws
+    if c >= 128:
+        out_s = sab_attn_v_slots(a, v, c, interpret)  # (BN, S, HW, c)
+        t = out_s.reshape(bn, ws, ws, hh, ww * c).transpose(0, 1, 3, 2, 4)
+        return t.reshape(bn, h, w, c)
+    # pair mode (c == 64): even/odd slot halves arrive separately; the
+    # interleave happens at ww*c-run granularity inside the merge transpose
+    oe, oo = sab_attn_v_slots(a, v, c, interpret)
+    assert ws % 2 == 0
+    me = oe.reshape(bn, ws, ws // 2, hh, ww * c).transpose(0, 1, 3, 2, 4)
+    mo = oo.reshape(bn, ws, ws // 2, hh, ww * c).transpose(0, 1, 3, 2, 4)
+    t = jnp.stack([me, mo], axis=4)  # (BN, ws, hh, ws//2, 2, ww*c)
+    return t.reshape(bn, h, w, c)
 
 
 def _pick_rows(q: int, k: int) -> int:

@@ -220,6 +220,38 @@ def _sab_attn_probs_bwd(interpret, res, g):
 sab_attn_probs_op.defvjp(_sab_attn_probs_fwd, _sab_attn_probs_bwd)
 
 
+def _av_merge_xla(a, v, ws, h, w):
+    from turtlevsr_tpu.models.blocks import _lattice_merge
+
+    out_tok = jnp.einsum("bqk,bkd->bqd", a, v,
+                         preferred_element_type=jnp.float32).astype(a.dtype)
+    return _lattice_merge(out_tok, ws, h, w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sab_av_merge_op(a, v, statics):
+    """Differentiable fused attention@values + lattice merge
+    (kernels/sab.py sab_attn_v_merge)."""
+    from turtlevsr_tpu.kernels.sab import sab_attn_v_merge
+
+    ws, h, w, interpret = statics
+    return sab_attn_v_merge(a, v, ws, h, w, interpret)
+
+
+def _av_merge_fwd(a, v, statics):
+    return sab_av_merge_op(a, v, statics), (a, v)
+
+
+def _av_merge_bwd(statics, res, g):
+    ws, h, w, _ = statics
+    a, v = res
+    _, vjp = jax.vjp(lambda a_, v_: _av_merge_xla(a_, v_, ws, h, w), a, v)
+    return vjp(g)
+
+
+sab_av_merge_op.defvjp(_av_merge_fwd, _av_merge_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def sab_softmax_op(scores, local_mask, interpret=False):
     from turtlevsr_tpu.kernels.sab import sab_sparse_softmax

@@ -436,11 +436,17 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         v_map = _conv(params["project_out"], v_map)
 
     # window-strided depthwise projections: kernel=stride=ws, padding=1
-    # (turtle_t1_arch.py:306-308)
-    k2 = _conv(params["k2_dwconv"], _conv(params["k2"], k_), stride=ws,
-               padding=1)
-    q2 = _conv(params["q2_dwconv"], _conv(params["q2"], q_), stride=ws,
-               padding=1)
+    # (turtle_t1_arch.py:306-308); bias-free configs take the folded
+    # patchify contraction (one pass, no intermediate 2c map)
+    if ("bias" not in params["k2"] and "bias" not in params["k2_dwconv"]
+            and "bias" not in params["q2"] and "bias" not in params["q2_dwconv"]):
+        k2 = _strided_patch_proj(params["k2"], params["k2_dwconv"], k_, ws)
+        q2 = _strided_patch_proj(params["q2"], params["q2_dwconv"], q_, ws)
+    else:
+        k2 = _conv(params["k2_dwconv"], _conv(params["k2"], k_), stride=ws,
+                   padding=1)
+        q2 = _conv(params["q2_dwconv"], _conv(params["q2"], q_), stride=ws,
+                   padding=1)
     hq, wq = q2.shape[1], q2.shape[2]
     assert hq == h // ws and wq == w // ws, (
         f"SAB window grid mismatch: conv gives {hq}x{wq}, lattice needs "
@@ -485,6 +491,35 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         attn1 = topk_keep(attn, 5)
         attn2 = attn * lm[None, None]
         a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
+
+    nf = v_all.shape[1]
+    dv = v_all.shape[-1]
+    c = dv // (ws * ws)
+    # Slot-tiled @v + coarse merge (kernels/sab.py sab_attn_v_merge):
+    # measured SLOWER than the dense einsum + XLA 6-D merge at every level
+    # (dec1 15.8 vs 13.9 ms, dec2 7.4 vs 6.6, dec3 4.1 vs 3.7 — the
+    # N=c_slot matmul tiling loses more MXU efficiency than the coarse
+    # merge transpose recovers, and v re-streams once per q-chunk). The
+    # kernel stays tested (test_kernels_bench_shapes) as the measured
+    # negative; r2-verdict item 2 closed by measurement.
+    use_av = False
+    if use_av and spec is not None and spec.kernels == "pallas":
+        from turtlevsr_tpu.kernels.sab import sab_av_slots_supported
+
+        use_av = sab_av_slots_supported(hw, dv, c)
+    if use_av:
+        # slot-tiled @v whose output layout turns the lattice merge into a
+        # coarse-grained transpose (kernels/sab.py sab_attn_v_merge)
+        from turtlevsr_tpu.kernels.vjp import sab_av_merge_op
+
+        maps = sab_av_merge_op(a.reshape(b * nf, hw, hw).astype(v_all.dtype),
+                               v_all.reshape(b * nf, hw, dv),
+                               (ws, h, w, _pallas_interpret()))
+        if not pre_project:
+            maps = _conv(params["project_out"], maps)
+        maps = maps.reshape(b, nf, h, w, maps.shape[-1])
+        return (maps * fvalid.astype(maps.dtype)[None, :, None, None, None],
+                fvalid, new_slot)
     out_tok = jnp.einsum("bnqk,bnkd->bnqd", a.astype(v_all.dtype), v_all,
                          preferred_element_type=ad).astype(x.dtype)
     return (_sab_finish(params, out_tok, fvalid, ws, h, w,
@@ -543,6 +578,28 @@ def chm_init(key, dim: int, heads: int, bias: bool, window_size: int,
         "kv_dwconv": conv_init(k4, dim * 2, dim * 2, 3, groups=dim * 2,
                                bias=bias, dtype=dtype),
     }
+
+
+def _strided_patch_proj(pw, dw, x, ws: int):
+    """pw1x1 (c->e) then depthwise conv kernel=stride=ws, padding=1 — the
+    SAB q2/k2 window embedding (turtle_t1_arch.py:306-308) — folded into ONE
+    patchify contraction.
+
+    With stride == kernel the windows tile the padded image exactly, so
+    out[i,j,e] = sum_{h,w,c} x[i*ws+h-1, j*ws+w-1, c] * (W1[c,e]*wd[h,w,e]).
+    XLA runs the window reshape + dot at ~1.7x the speed of the 1x1+strided
+    -dwconv chain AND never materialises the (H, W, e) intermediate map
+    (measured 736x1280 c=64: 2.96 -> 1.70 ms; 368x640: 1.61 -> 0.63).
+    Bias-free only (the shipped configs); callers fall back otherwise."""
+    b, h, w, c = x.shape
+    e = pw["weight"].shape[-1]
+    k = pw["weight"][0, 0][:, None, None, :] * dw["weight"][:, :, 0][None]
+    xp = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)))[:, :h, :w]
+    hh, ww = h // ws, w // ws
+    xw = xp.reshape(b, hh, ws, ww, ws, c)
+    ad = acc_dtype(x.dtype)
+    return jnp.einsum("bihjwc,chwe->bije", xw, k,
+                      preferred_element_type=ad).astype(x.dtype)
 
 
 def _safe_norm(ss):
