@@ -139,3 +139,41 @@ def test_sab_av_merge_gradients():
     gx = jax.grad(loss_x, argnums=(0, 1))(a, v)
     for g1, g2 in zip(gk, gx):
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+def test_qkv_stats_kernel_at_bench_shape():
+    """fused_qkv_stats (q/k maps never leave VMEM) vs the XLA chain: v map,
+    gram q^T k and the norm sums, at the dec1 bench width."""
+    from turtlevsr_tpu.kernels.ffn import fused_qkv_stats
+    from turtlevsr_tpu.kernels.vjp import _qkv_stats_xla
+
+    x = _rand(0, (2, H, W, C))
+    ln_w = _rand(1, (C,)) * 0.1 + 1.0
+    projs = [dict(w1=_rand(10 + i, (C, C)) * 0.1,
+                  wd=_rand(20 + i, (3, 3, C))) for i in range(3)]
+    got_v, got_g, got_s = fused_qkv_stats(x, projs, ln_w=ln_w,
+                                          interpret=True)
+    want_v, want_g, want_s = _qkv_stats_xla(
+        x, {"projs": projs, "ln_w": ln_w}, "bias_free")
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-4, atol=1e-2)
+
+
+def test_gffw_batched_po_input():
+    """The FFN kernel's po path with a PER-BATCH (B, C, C) po' matrix (the
+    fused channel attention's data-dependent projection)."""
+    hid = 160
+    x = _rand(0, (2, H, W, C))
+    x2 = _rand(9, (2, H, W, C))
+    pw = _rand(8, (2, C, C)) * 0.2
+    p = dict(ln_w=_rand(1, (C,)) * 0.1 + 1.0,
+             w1=_rand(3, (C, 2 * hid)) * 0.1, wd=_rand(4, (3, 3, 2 * hid)),
+             w2=_rand(5, (hid, C)) * 0.1)
+    got = fused_block_ffn(x, mode="gate", residual=True, interpret=True,
+                          x2=x2, po_w=pw, **p)
+    want = _ffn_xla(x, dict(p, x2=x2, po_w=pw), "gate", True, "bias_free")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)

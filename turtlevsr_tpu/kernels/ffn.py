@@ -140,7 +140,9 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
         def pair_sum(xr, x2r):
             a2 = x2r[0]
             if has_po:
-                a2 = jnp.dot(a2, wpo[:],
+                # wpo is batch-blocked (1, C, C): channel attention feeds a
+                # DATA-DEPENDENT per-batch po' = blockdiag(attn^T) @ W_po
+                a2 = jnp.dot(a2, wpo[0],
                              preferred_element_type=jnp.float32
                              ).astype(xm.dtype)
                 a2 = a2 + bpo[:].astype(xm.dtype)
@@ -277,6 +279,223 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
                          + fl * (mb[:] * ml[:]) * s_bl
                          + fl * (mb[:] * mr[:]) * s_br)
         out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
+                      e_dim, has_b1):
+    """Channel-attention front: the q/k/v projection chains of one block,
+    but q and k NEVER leave VMEM — the kernel writes only the v map plus
+    the fp32 statistics channel attention actually needs (turtle_arch.py
+    :589-625): the Gram matrix g = q^T k (c, c) and the per-channel-token
+    squared norms of q and k, accumulated across row strips. The (H, W, c)
+    q/k maps (2 full-map writes + 2 reads per block in the split-proj
+    design) disappear; the softmax runs on the tiny (heads, ctok, ctok)
+    scores in XLA and the attention application itself folds into the FFN
+    kernel's pair/po path as po' = blockdiag(attn^T) @ W_po.
+
+    rest: 3 x (w1, wd9, [9 bias vecs]) for q/k/v, cml_x, cmr_x, ml, mr,
+    mt, mb, then v_ref (blocked rows), g_ref (1, e, e) fp32, s_ref
+    (1, 8, 2e) fp32 (row 0 = [sum q^2 | sum k^2]), xn_ref, h1_ref."""
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = rest[idx: idx + k]
+        idx += k
+        return out
+
+    projs = []
+    for _ in range(3):
+        w1, wd9 = take(2)
+        sv = take(9) if has_b1 else None
+        projs.append((w1, wd9, sv))
+    cml_x, cmr_x, ml, mr, mt, mb = take(6)
+    v_ref, g_ref, s_ref = rest[idx: idx + 3]
+    xn_ref, h1_ref = rest[idx + 3:]
+
+    i = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    w = w_img
+    sw = s_rows * w
+    n = sw + 2 * w
+
+    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
+    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
+    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
+    f0 = (i == 0).astype(jnp.float32)
+    fl = (i == last).astype(jnp.float32)
+    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
+    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+
+    cdt = xm.dtype
+    xn_cdt = xn_ref[:].astype(cdt)
+
+    def chain(w1h, wd9h, sv):
+        h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
+        acc = jnp.zeros((sw, e_dim), jnp.float32)
+        for dj in (-1, 0, 1):
+            if dj == -1:
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+            elif dj == 1:
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+            else:
+                base = h1_ref[:]
+            for di in (-1, 0, 1):
+                lo = w + di * w
+                k = (di + 1) * 3 + (dj + 1)
+                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
+        if sv is not None:
+            s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
+                v[:].astype(jnp.float32) for v in sv]
+            acc = acc + (s_all - ml[:] * s_l - mr[:] * s_r
+                         - f0 * mt[:] * s_t - fl * mb[:] * s_b
+                         + f0 * (mt[:] * ml[:]) * s_tl
+                         + f0 * (mt[:] * mr[:]) * s_tr
+                         + fl * (mb[:] * ml[:]) * s_bl
+                         + fl * (mb[:] * mr[:]) * s_br)
+        return acc
+
+    # cast to the model dtype first: the gram must see exactly the values
+    # the written q/k maps would have held (pallas == xla parity)
+    q = chain(*projs[0]).astype(cdt)
+    k = chain(*projs[1]).astype(cdt)
+    v_ref[0] = chain(*projs[2]).astype(v_ref.dtype)
+
+    g = jax.lax.dot_general(q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    nq = jnp.sum(qf * qf, axis=0, keepdims=True)  # (1, e)
+    nk = jnp.sum(kf * kf, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _zero():
+        g_ref[0] = jnp.zeros_like(g_ref[0])
+        s_ref[0] = jnp.zeros_like(s_ref[0])
+
+    g_ref[0] = g_ref[0] + g
+    s_ref[0, 0:1, :] = (s_ref[0, 0:1, :]
+                        + jnp.concatenate([nq, nk], axis=1))
+
+
+def _strip_mem_stats(s: int, w: int, c: int, e: int) -> int:
+    n = (s + 2) * w
+    return (n * c * 6            # fp32 LN scratch + cast copy
+            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
+            + 2 * s * w * e * 4  # acc transient
+            + 2 * 2 * s * w * e * 4  # held q/k strips (+ fp32 gram copies)
+            + 4 * s * w * c * 2  # double-buffered input blocks
+            + 2 * s * w * e * 2  # double-buffered v output
+            + 2 * e * e * 4)     # gram block
+
+
+def _pick_strip_stats(h: int, w: int, c: int, e: int) -> int:
+    best = 0
+    for s in range(1, min(h, 32) + 1):
+        if h % s == 0 and _strip_mem_stats(s, w, c, e) <= _VMEM_BUDGET:
+            best = s
+    return best
+
+
+def qkv_stats_supported(h: int, w: int, c: int) -> bool:
+    return w % 8 == 0 and _pick_strip_stats(h, w, c, c) > 0
+
+
+def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
+                    interpret: bool = False):
+    """LN + the 3 q/k/v projection chains of channel attention, emitting
+    only (v_map (B,H,W,e), gram (B,e,e) fp32 = q^T k over all pixels,
+    stats (B,8,2e) fp32 with row 0 = [sum q^2 | sum k^2]). q/k maps stay
+    in VMEM. projs: 3 dicts {w1 (C,E), b1, wd (3,3,E), bd}."""
+    b, h, w, c = x.shape
+    assert len(projs) == 3
+    e_dim = projs[0]["w1"].shape[1]
+    assert all(p["w1"].shape[1] == e_dim for p in projs)
+    dt = x.dtype
+    zeros = functools.partial(jnp.zeros, dtype=dt)
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    ln_args = (ln_w if ln_w is not None else zeros((c,)),
+               ln_b if ln_b is not None else zeros((c,)))
+    assert w % 8 == 0
+
+    has_b1 = any(p.get("b1") is not None or p.get("bd") is not None
+                 for p in projs)
+    args = []
+    for p in projs:
+        wd9 = p["wd"].reshape(9, e_dim).astype(jnp.float32)
+        args += [p["w1"], wd9]
+        if has_b1:
+            b1f = (p.get("b1") if p.get("b1") is not None
+                   else zeros((e_dim,))).astype(jnp.float32)
+            bdf = (p.get("bd") if p.get("bd") is not None
+                   else zeros((e_dim,))).astype(jnp.float32)
+            tb = wd9 * b1f[None, :]
+            args += [tb.sum(0) + bdf,
+                     tb[0] + tb[3] + tb[6], tb[2] + tb[5] + tb[8],
+                     tb[:3].sum(0), tb[6:].sum(0),
+                     tb[0], tb[2], tb[6], tb[8]]
+
+    s_rows = _pick_strip_stats(h, w, c, e_dim)
+    assert s_rows, "no feasible strip size; use the XLA path"
+    sw = s_rows * w
+    n = sw + 2 * w
+
+    arange_n = np.arange(n)
+    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
+    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
+    col = np.arange(sw) % w
+    row = np.arange(sw) // w
+    ml = jnp.asarray((col == 0).astype(np.float32)[:, None])
+    mr = jnp.asarray((col == w - 1).astype(np.float32)[:, None])
+    mt = jnp.asarray((row == 0).astype(np.float32)[:, None])
+    mb = jnp.asarray((row == s_rows - 1).astype(np.float32)[:, None])
+    args += [cml_x, cmr_x, ml, mr, mt, mb]
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    kernel = functools.partial(
+        _qkv_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
+        e_dim=e_dim, has_b1=has_b1)
+    last_row = h - 1
+    s_ = s_rows
+    xf = x.reshape(b, h * w, c)
+    v_map, g, stats = pl.pallas_call(
+        kernel,
+        grid=(b, h // s_rows),
+        in_specs=[
+            pl.BlockSpec((1, w, c),
+                         lambda b_, i: (b_, jnp.maximum(i * s_ - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, c),
+                         lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
+                                        0),
+                         memory_space=pltpu.VMEM),
+        ] + [vmem()] * (2 + len(args)),
+        out_specs=(
+            pl.BlockSpec((1, sw, e_dim), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim, e_dim), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 2 * e_dim), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h * w, e_dim), dt),
+            jax.ShapeDtypeStruct((b, e_dim, e_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, 2 * e_dim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((n, e_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xf, xf, xf, *ln_args, *args)
+    return v_map.reshape(b, h, w, e_dim), g, stats
 
 
 def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
@@ -713,9 +932,17 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         inputs += [x2f, x2f, x2f]
         in_specs += list(halo_specs)
         if po_w is not None:
-            inputs += [po_w.astype(dt),
+            # po_w may be (C, C) shared or (B, C, C) per-batch (the fused
+            # channel attention's data-dependent po'); batch-blocked either
+            # way
+            po_w3 = (po_w[None] if po_w.ndim == 2 else po_w).astype(dt)
+            inputs += [po_w3,
                        (po_b if po_b is not None else jnp.zeros((c,), dt))]
-            in_specs += [vmem(), vmem()]
+            po_last = po_w3.shape[0] - 1
+            in_specs += [pl.BlockSpec(
+                (1, c, c),
+                lambda b_, i, _l=po_last: (jnp.minimum(b_, _l), 0, 0),
+                memory_space=pltpu.VMEM), vmem()]
     inputs += args
     in_specs += [vmem()] * len(args)
     return pl.pallas_call(

@@ -39,8 +39,15 @@ def _ffn_xla(x, p, mode, residual, ln_mode):
         x2 = p["x2"]
         if p.get("po_w") is not None:  # fused attention project_out
             c = x2.shape[-1]
-            x2 = jnp.dot(x2.reshape(-1, c), p["po_w"],
-                         preferred_element_type=x2.dtype).reshape(x2.shape)
+            pw = p["po_w"]
+            if pw.ndim == 3:  # per-batch po' (fused channel attention)
+                x2 = jnp.einsum("bhwc,bce->bhwe", x2,
+                                pw.astype(x2.dtype),
+                                preferred_element_type=x2.dtype)
+            else:
+                x2 = jnp.dot(x2.reshape(-1, c), pw.astype(x2.dtype),
+                             preferred_element_type=x2.dtype
+                             ).reshape(x2.shape)
             if p.get("po_b") is not None:
                 x2 = x2 + p["po_b"]
         x = x + x2  # fused attention-residual add
@@ -161,6 +168,61 @@ def call_split_proj(x, projs, *, ln_w=None, ln_b=None, interpret=False):
     if ln_b is not None:
         p["ln_b"] = ln_b
     return split_proj_op(x, p, (ln_mode, interpret))
+
+
+def _qkv_stats_xla(x, p, ln_mode):
+    """XLA reference of fused_qkv_stats: the q/k/v chains + gram/norm
+    reductions (what channel attention consumes — turtle_arch.py:589-625)."""
+    q, k, v = _split_proj_xla(x, p, ln_mode)
+    b, _, _, e = q.shape
+    qf = q.reshape(b, -1, e)
+    kf = k.reshape(b, -1, e)
+    g = jnp.einsum("blc,bld->bcd", qf, kf,
+                   preferred_element_type=jnp.float32)
+    nq = jnp.einsum("blc,blc->bc", qf, qf,
+                    preferred_element_type=jnp.float32)
+    nk = jnp.einsum("blc,blc->bc", kf, kf,
+                    preferred_element_type=jnp.float32)
+    s = jnp.zeros((b, 8, 2 * e), jnp.float32).at[:, 0].set(
+        jnp.concatenate([nq, nk], axis=-1))
+    return v, g, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def qkv_stats_op(x, p, statics):
+    from turtlevsr_tpu.kernels.ffn import fused_qkv_stats
+
+    ln_mode, interpret = statics
+    return fused_qkv_stats(x, p["projs"], ln_w=p.get("ln_w"),
+                           ln_b=p.get("ln_b"), interpret=interpret)
+
+
+def _qkv_stats_fwd(x, p, statics):
+    return qkv_stats_op(x, p, statics), (x, p)
+
+
+def _qkv_stats_bwd(statics, res, g):
+    ln_mode, _ = statics
+    x, p = res
+    _, vjp = jax.vjp(lambda x_, p_: _qkv_stats_xla(x_, p_, ln_mode), x, p)
+    return vjp(g)
+
+
+qkv_stats_op.defvjp(_qkv_stats_fwd, _qkv_stats_bwd)
+
+
+def call_qkv_stats(x, projs, *, ln_w=None, ln_b=None, interpret=False):
+    """Differentiable fused qkv + channel-attention statistics
+    (kernels/ffn.py fused_qkv_stats)."""
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    p = {"projs": [
+        {k: v for k, v in pr.items() if v is not None} for pr in projs]}
+    if ln_w is not None:
+        p["ln_w"] = ln_w
+    if ln_b is not None:
+        p["ln_b"] = ln_b
+    return qkv_stats_op(x, p, (ln_mode, interpret))
 
 
 def _conv3_xla(x, p):

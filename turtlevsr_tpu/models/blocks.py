@@ -328,6 +328,63 @@ def channel_attention_apply(params, x, heads: int, ln=None, spec=None,
     return out, None
 
 
+def channel_stats_supported(params, x, spec) -> bool:
+    from turtlevsr_tpu.kernels.ffn import qkv_stats_supported
+
+    return qkv_stats_supported(x.shape[1], x.shape[2], spec.dim)
+
+
+def channel_attention_stats_apply(params, x, heads: int, ln, spec):
+    """Cacheless channel attention via the stats kernel
+    (kernels/ffn.py fused_qkv_stats): the q/k maps never leave VMEM and the
+    attention application folds into the downstream FFN kernel.
+
+    Channel attention's output is out = v @ blockdiag(attn^T), followed by
+    project_out — so out @ W_po = v @ (blockdiag(attn^T) @ W_po). The kernel
+    emits just the v map plus the Gram/norm statistics; the (heads, ctok,
+    ctok) softmax and the tiny po' product run in XLA. Returns
+    (v_map, po_w' (B, C, C), po_b) for the FFN pair/po path
+    (ref turtle_arch.py:589-625)."""
+    b, h, w, c = x.shape
+    ctok = c // heads
+    pw, dw = params["qkv"], params["qkv_dwconv"]
+    ch = pw["weight"].shape[-1]
+    w1 = pw["weight"].reshape(c, ch)
+    wd = dw["weight"].reshape(3, 3, ch)
+    b1 = pw.get("bias")
+    bd = dw.get("bias")
+    projs = []
+    for i in range(3):
+        sl = slice(i * c, (i + 1) * c)
+        projs.append(dict(w1=w1[:, sl], wd=wd[:, :, sl],
+                          b1=None if b1 is None else b1[sl],
+                          bd=None if bd is None else bd[sl]))
+    from turtlevsr_tpu.kernels.vjp import call_qkv_stats
+
+    v_map, g, s = call_qkv_stats(
+        x, projs, ln_w=ln[0] if ln else None,
+        ln_b=(ln[1] if ln else None), interpret=_pallas_interpret())
+
+    ad = acc_dtype(x.dtype)
+    eps = jnp.asarray(1e-12, ad)
+    nq = jnp.maximum(_safe_norm(s[:, 0, :c].astype(ad)),
+                     eps).reshape(b, heads, ctok)
+    nk = jnp.maximum(_safe_norm(s[:, 0, c:].astype(ad)),
+                     eps).reshape(b, heads, ctok)
+    ghh = jnp.stack([g[:, i * ctok:(i + 1) * ctok, i * ctok:(i + 1) * ctok]
+                     for i in range(heads)], axis=1).astype(ad)
+    scores = ghh / (nq[..., None] * nk[..., None, :])
+    temp = params["temperature"].astype(ad)[None]  # (1, heads, 1, 1)
+    attn = masked_softmax(scores * temp, None).astype(x.dtype)
+
+    wpo = params["project_out"]["weight"].reshape(c, c)
+    po_w = jnp.einsum("bhcd,hce->bhde", attn,
+                      wpo.reshape(heads, ctok, c).astype(attn.dtype),
+                      preferred_element_type=ad)
+    po_w = po_w.reshape(b, c, c).astype(x.dtype)
+    return v_map, po_w, params["project_out"].get("bias")
+
+
 def fhr_apply(params, x, heads: int, slot: Optional[dict], ln=None,
               spec=None, skip_po=False):
     """Standalone FHR with its ring-buffer slot (latent blocks)."""
@@ -767,9 +824,13 @@ def _fused_ffn_half(params, x, spec: BlockSpec, x2=None, po=None):
     c = spec.dim
     if spec.ffw_type == "GFFW":
         hid = p["project_in"]["weight"].shape[-1]
+        po_w = None
+        if po is not None:  # conv params (1,1,C,C) or a precomputed matrix
+            po_w = (po["weight"].reshape(c, c)
+                    if po["weight"].ndim == 4 else po["weight"])
         return fused_block_ffn(
             x, x2=x2,
-            po_w=None if po is None else po["weight"].reshape(c, c),
+            po_w=po_w,
             po_b=None if po is None else po.get("bias"),
             ln_w=ln["weight"], ln_b=ln.get("bias"),
             w1=p["project_in"]["weight"].reshape(c, hid),
@@ -834,6 +895,19 @@ def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
         # configs where the balance differs.
         skip_po = False
         if t == "Channel":
+            if (fused and spec.ffw_type == "GFFW"
+                    and channel_stats_supported(params["attn"], x, spec)):
+                # fully fused cacheless channel block: stats kernel (q/k
+                # maps stay in VMEM) + tiny XLA softmax + the attention
+                # apply & project_out folded into the FFN kernel as the
+                # data-dependent po' = blockdiag(attn^T) @ W_po
+                v_map, po_w, po_b = channel_attention_stats_apply(
+                    params["attn"], x, spec.num_heads, ln, spec)
+                po = {"weight": po_w}
+                if po_b is not None:
+                    po["bias"] = po_b
+                return _fused_ffn_half(params, x, spec, x2=v_map,
+                                       po=po), None
             a, new_slot = channel_attention_apply(params["attn"], x,
                                                   spec.num_heads, ln=ln,
                                                   spec=spec, skip_po=skip_po)
