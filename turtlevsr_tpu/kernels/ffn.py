@@ -47,6 +47,8 @@ _LN_EPS = 1e-5
 # requests a raised limit and budgets well inside it. 48MB is the measured
 # optimum: an 80MB budget gives S=8 strips (~9% faster in isolation) but
 # OOMs scoped vmem in the full bf16 720p graph (113MB > the 109MB cap).
+# Retried 64MB after the r3 channel-block fusion slimmed the graph: still
+# errors at compile — 48MB stands.
 _VMEM_BUDGET = 48 * 1024 * 1024
 # tried 60MB for the gate kernel alone (S=8 strips, ~9% in isolation): with
 # the residual-pair inputs the real usage hits 112MB and OOMs scoped vmem —

@@ -204,7 +204,10 @@ def sab_attn_v_slots(a, v, c_slot: int, interpret: bool = False):
                                            a.dtype),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT,
-                dimension_semantics=("parallel", "parallel", "parallel")),
+                # q/s sequential: the a-block's index map is constant across
+                # the inner s steps, so Mosaic keeps it resident instead of
+                # re-fetching 13.5MB per slot
+                dimension_semantics=("parallel", "arbitrary", "arbitrary")),
             interpret=interpret,
         )(a, v)
     # c_slot == 64: pair mode
@@ -238,7 +241,7 @@ def sab_attn_v_slots(a, v, c_slot: int, interpret: bool = False):
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
         interpret=interpret,
     )(a, v, e0, e1)
     return oe, oo
