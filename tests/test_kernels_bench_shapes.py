@@ -177,3 +177,27 @@ def test_gffw_batched_po_input():
                           x2=x2, po_w=pw, **p)
     want = _ffn_xla(x, dict(p, x2=x2, po_w=pw), "gate", True, "bias_free")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_chm_stats_kernel_at_bench_shape():
+    """fused_chm_stats (q/k/kh maps never leave VMEM) vs the XLA chain at
+    the dec1 bench width: v/vh maps, gram q^T k, per-frame gh = q^T kh_n
+    and the norm rows."""
+    from turtlevsr_tpu.kernels.ffn import fused_chm_stats
+    from turtlevsr_tpu.kernels.vjp import _chm_stats_xla
+
+    nf = 3
+    x = _rand(0, (1, H, W, C))
+    x_sp = _rand(1, (1, nf, H, W, C))
+    ln_w = _rand(2, (C,)) * 0.1 + 1.0
+    qkv = [dict(w1=_rand(10 + i, (C, C)) * 0.1,
+                wd=_rand(20 + i, (3, 3, C))) for i in range(3)]
+    kv = [dict(w1=_rand(30 + i, (C, C)) * 0.1,
+               wd=_rand(40 + i, (3, 3, C))) for i in range(2)]
+    got = fused_chm_stats(x, x_sp, qkv, kv, ln_w=ln_w, interpret=True)
+    want = _chm_stats_xla(x, x_sp, {"qkv": qkv, "kv": kv, "ln_w": ln_w},
+                          "bias_free")
+    names = ("v", "vh", "g", "gh", "s")
+    for nm, gg, ww in zip(names, got, want):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                   rtol=1e-4, atol=1e-2, err_msg=nm)

@@ -500,6 +500,228 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
     return v_map.reshape(b, h, w, e_dim), g, stats
 
 
+def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
+                      s_rows, w_img, e_dim, n_frames):
+    """CausalHistoryModel front (turtle_arch.py:535-585), one pass: the
+    FHR q/k/v chains over LN(x) AND the kv embedding chains over every
+    aligned frame x_sp[n] (NO LayerNorm — kv_dwconv(kv(x_sp)), ref :572-578)
+    run strip-wise; q, k and all kh maps stay in VMEM. The kernel writes
+    only the v and vh value maps plus the fp32 statistics the FHR routing
+    consumes: g = q^T k, gh[n] = q^T kh_n, and the squared-norm rows for
+    q, k and each kh_n. Bias-free configs only (the shipped ones).
+
+    rest: q/k/v (w1, wd9) x3, kv (w1_k, wd9_k, w1_v, wd9_v) shared across
+    frames, cml_x, cmr_x, then v_ref (blocked), vh_ref (blocked, per-frame
+    leading dim), g_ref (1, e, e), gh_ref (1, nf, e, e), s_ref
+    (1, nf + 2, 8, e) (row 0 of [idx] = sum sq: idx 0 = q, 1 = k,
+    2+n = kh_n), xn_ref, h1_ref."""
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = rest[idx: idx + k]
+        idx += k
+        return out
+
+    (w1_q, wd9_q, w1_k, wd9_k, w1_v, wd9_v,
+     w1_hk, wd9_hk, w1_hv, wd9_hv) = take(10)
+    cml_x, cmr_x = take(2)
+    v_ref, vh_ref, g_ref, gh_ref, s_ref = rest[idx: idx + 5]
+    xn_ref, h1_ref = rest[idx + 5:]
+
+    i = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    w = w_img
+    sw = s_rows * w
+    n = sw + 2 * w
+    f0 = (i == 0).astype(jnp.float32)
+    fl = (i == last).astype(jnp.float32)
+    cdt = xm.dtype
+
+    def chain(w1h, wd9h):
+        h1_ref[:] = jnp.dot(xn_ref[:].astype(cdt), w1h[:],
+                            preferred_element_type=jnp.float32)
+        acc = jnp.zeros((sw, e_dim), jnp.float32)
+        for dj in (-1, 0, 1):
+            if dj == -1:
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+            elif dj == 1:
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+            else:
+                base = h1_ref[:]
+            for di in (-1, 0, 1):
+                lo = w + di * w
+                k = (di + 1) * 3 + (dj + 1)
+                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
+        return acc
+
+    def fill(top, mid, bot, ln):
+        if ln:
+            xn_ref[0:w, :] = _ln_2d_f32(top, ln_w, ln_b, ln_mode)
+            xn_ref[w:w + sw, :] = _ln_2d_f32(mid, ln_w, ln_b, ln_mode)
+            xn_ref[w + sw:n, :] = _ln_2d_f32(bot, ln_w, ln_b, ln_mode)
+        else:
+            xn_ref[0:w, :] = top.astype(jnp.float32)
+            xn_ref[w:w + sw, :] = mid.astype(jnp.float32)
+            xn_ref[w + sw:n, :] = bot.astype(jnp.float32)
+        xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
+        xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+
+    def gram(a, b):
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def sq(a):
+        af = a.astype(jnp.float32)
+        return jnp.sum(af * af, axis=0, keepdims=True)  # (1, e)
+
+    @pl.when(i == 0)
+    def _zero():
+        g_ref[0] = jnp.zeros_like(g_ref[0])
+        gh_ref[0] = jnp.zeros_like(gh_ref[0])
+        s_ref[0] = jnp.zeros_like(s_ref[0])
+
+    # FHR q/k/v over LN(x)
+    fill(xa[0], xm[0], xb[0], True)
+    q = chain(w1_q, wd9_q).astype(cdt)
+    k = chain(w1_k, wd9_k).astype(cdt)
+    v_ref[0] = chain(w1_v, wd9_v).astype(v_ref.dtype)
+    g_ref[0] = g_ref[0] + gram(q, k)
+    s_ref[0, 0, 0:1, :] = s_ref[0, 0, 0:1, :] + sq(q)
+    s_ref[0, 1, 0:1, :] = s_ref[0, 1, 0:1, :] + sq(k)
+
+    # kv embedding of each aligned frame (no LN)
+    for nn in range(n_frames):
+        fill(xsa[0, nn], xsm[0, nn], xsb[0, nn], False)
+        kh = chain(w1_hk, wd9_hk).astype(cdt)
+        vh_ref[0, nn] = chain(w1_hv, wd9_hv).astype(vh_ref.dtype)
+        gh_ref[0, nn] = gh_ref[0, nn] + gram(q, kh)
+        s_ref[0, 2 + nn, 0:1, :] = s_ref[0, 2 + nn, 0:1, :] + sq(kh)
+
+
+def _strip_mem_chm(s: int, w: int, c: int, e: int, nf: int) -> int:
+    n = (s + 2) * w
+    return (n * c * 6            # fp32 xn scratch + cast copy
+            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
+            + 2 * s * w * e * 4  # acc transient
+            + 3 * s * w * e * 4  # held q/k strips + gram fp32 copies
+            + 4 * s * w * c * 2 * (1 + nf)  # double-buffered x + x_sp blocks
+            + 2 * s * w * e * 2 * (1 + nf)  # double-buffered v + vh outputs
+            + (1 + nf) * e * e * 4)         # gram blocks
+
+
+def _pick_strip_chm(h: int, w: int, c: int, e: int, nf: int) -> int:
+    best = 0
+    for s in range(1, min(h, 32) + 1):
+        if h % s == 0 and _strip_mem_chm(s, w, c, e, nf) <= _VMEM_BUDGET:
+            best = s
+    return best
+
+
+def chm_stats_supported(h: int, w: int, c: int, nf: int) -> bool:
+    return w % 8 == 0 and _pick_strip_chm(h, w, c, c, nf) > 0
+
+
+def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
+                    interpret: bool = False):
+    """x: (B, H, W, C) current frame; x_sp: (B, NF, H, W, C) SAB-aligned
+    frames. qkv: 3 dicts {w1 (C, C), wd (3, 3, C)} (the ChanAttn q/k/v
+    thirds); kv: 2 dicts (the kv embedding halves, shared across frames).
+    Bias-free only. Returns (v (B,H,W,C), vh (B,NF,H,W,C), g (B,C,C) fp32,
+    gh (B,NF,C,C) fp32, s (B,NF+2,8,C) fp32 norm rows)."""
+    b, h, w, c = x.shape
+    nf = x_sp.shape[1]
+    e_dim = c
+    dt = x.dtype
+    zeros = functools.partial(jnp.zeros, dtype=dt)
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    ln_args = (ln_w if ln_w is not None else zeros((c,)),
+               ln_b if ln_b is not None else zeros((c,)))
+    assert w % 8 == 0
+
+    args = []
+    for p in qkv:
+        args += [p["w1"], p["wd"].reshape(9, e_dim).astype(jnp.float32)]
+    for p in kv:
+        args += [p["w1"], p["wd"].reshape(9, e_dim).astype(jnp.float32)]
+
+    s_rows = _pick_strip_chm(h, w, c, e_dim, nf)
+    assert s_rows, "no feasible strip size; use the XLA path"
+    sw = s_rows * w
+    n = sw + 2 * w
+    arange_n = np.arange(n)
+    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
+    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
+    args += [cml_x, cmr_x]
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    kernel = functools.partial(
+        _chm_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
+        e_dim=e_dim, n_frames=nf)
+    last_row = h - 1
+    s_ = s_rows
+    xf = x.reshape(b, h * w, c)
+    xsf = x_sp.reshape(b, nf, h * w, c)
+    hspec = [
+        pl.BlockSpec((1, w, c),
+                     lambda b_, i: (b_, jnp.maximum(i * s_ - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, sw, c), lambda b_, i: (b_, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, w, c),
+                     lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
+                                    0),
+                     memory_space=pltpu.VMEM),
+    ]
+    hspec_s = [
+        pl.BlockSpec((1, nf, w, c),
+                     lambda b_, i: (b_, 0, jnp.maximum(i * s_ - 1, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nf, sw, c), lambda b_, i: (b_, 0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nf, w, c),
+                     lambda b_, i: (b_, 0,
+                                    jnp.minimum(i * s_ + s_, last_row), 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    v, vh, g, gh, stats = pl.pallas_call(
+        kernel,
+        grid=(b, h // s_rows),
+        in_specs=hspec + hspec_s + [vmem()] * (2 + len(args)),
+        out_specs=(
+            pl.BlockSpec((1, sw, e_dim), lambda b_, i: (b_, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf, sw, e_dim), lambda b_, i: (b_, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim, e_dim), lambda b_, i: (b_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf, e_dim, e_dim), lambda b_, i: (b_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf + 2, 8, e_dim), lambda b_, i: (b_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h * w, e_dim), dt),
+            jax.ShapeDtypeStruct((b, nf, h * w, e_dim), dt),
+            jax.ShapeDtypeStruct((b, e_dim, e_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, nf, e_dim, e_dim), jnp.float32),
+            jax.ShapeDtypeStruct((b, nf + 2, 8, e_dim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((n, e_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT,
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(xf, xf, xf, xsf, xsf, xsf, *ln_args, *args)
+    return (v.reshape(b, h, w, e_dim), vh.reshape(b, nf, h, w, e_dim),
+            g, gh, stats)
+
+
 def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
                ln_mode, residual):
     """No-dwconv variant (FFW): plain blocked rows, no halo."""

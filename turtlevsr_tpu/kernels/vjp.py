@@ -225,6 +225,73 @@ def call_qkv_stats(x, projs, *, ln_w=None, ln_b=None, interpret=False):
     return qkv_stats_op(x, p, (ln_mode, interpret))
 
 
+def _chm_stats_xla(x, x_sp, p, ln_mode):
+    """XLA reference of fused_chm_stats (turtle_arch.py:535-585 front)."""
+    q, k, v = _split_proj_xla(x, {"projs": p["qkv"],
+                                  **{kk: p[kk] for kk in ("ln_w", "ln_b")
+                                     if kk in p}}, ln_mode)
+    b, nf = x_sp.shape[:2]
+    c = x.shape[-1]
+    xs = x_sp.reshape((b * nf,) + x_sp.shape[2:])
+    kh, vh = _split_proj_xla(xs, {"projs": p["kv"]}, "none")
+    qf = q.reshape(b, -1, c)
+    kf = k.reshape(b, -1, c)
+    khf = kh.reshape(b, nf, -1, c)
+    g = jnp.einsum("blc,bld->bcd", qf, kf,
+                   preferred_element_type=jnp.float32)
+    gh = jnp.einsum("blc,bnld->bncd", qf, khf,
+                    preferred_element_type=jnp.float32)
+    sq = jnp.einsum("blc,blc->bc", qf, qf, preferred_element_type=jnp.float32)
+    sk = jnp.einsum("blc,blc->bc", kf, kf, preferred_element_type=jnp.float32)
+    sh = jnp.einsum("bnlc,bnlc->bnc", khf, khf,
+                    preferred_element_type=jnp.float32)
+    s = jnp.zeros((b, nf + 2, 8, c), jnp.float32)
+    s = s.at[:, 0, 0].set(sq).at[:, 1, 0].set(sk)
+    s = s.at[:, 2:, 0].set(sh)
+    return (v, vh.reshape(b, nf, *x.shape[1:3], c), g, gh, s)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def chm_stats_op(x, x_sp, p, statics):
+    from turtlevsr_tpu.kernels.ffn import fused_chm_stats
+
+    ln_mode, interpret = statics
+    return fused_chm_stats(x, x_sp, p["qkv"], p["kv"], ln_w=p.get("ln_w"),
+                           ln_b=p.get("ln_b"), interpret=interpret)
+
+
+def _chm_stats_fwd(x, x_sp, p, statics):
+    return chm_stats_op(x, x_sp, p, statics), (x, x_sp, p)
+
+
+def _chm_stats_bwd(statics, res, g):
+    ln_mode, _ = statics
+    x, x_sp, p = res
+    _, vjp = jax.vjp(
+        lambda x_, xs_, p_: _chm_stats_xla(x_, xs_, p_, ln_mode), x, x_sp, p)
+    return vjp(g)
+
+
+chm_stats_op.defvjp(_chm_stats_fwd, _chm_stats_bwd)
+
+
+def call_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
+                   interpret=False):
+    """Differentiable fused CHM projections + routing statistics
+    (kernels/ffn.py fused_chm_stats)."""
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    p = {"qkv": [{k: v for k, v in pr.items() if v is not None}
+                 for pr in qkv],
+         "kv": [{k: v for k, v in pr.items() if v is not None}
+                for pr in kv]}
+    if ln_w is not None:
+        p["ln_w"] = ln_w
+    if ln_b is not None:
+        p["ln_b"] = ln_b
+    return chm_stats_op(x, x_sp, p, (ln_mode, interpret))
+
+
 def _conv3_xla(x, p):
     from turtlevsr_tpu.ops.conv import conv2d
 

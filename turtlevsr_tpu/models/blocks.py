@@ -689,38 +689,89 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
                                  ln=ln, spec=spec, pre=sab_pre)
     nf = x_sp.shape[1]
 
-    xs = x_sp.reshape(b * nf, h, w, c)
-    km, vm = _multi_proj_dw(params, [("kv", "kv_dwconv", 2)], xs, None, spec)
-    kh = km.reshape(b, nf, l, heads, ctok)  # (B, NF, L, heads, ctok)
-    vh = vm.reshape(b, nf, l, heads, ctok)
-
     ad = acc_dtype(x.dtype)
     eps = jnp.asarray(1e-12, ad)
-    nk_h = jnp.maximum(_safe_norm(
-        jnp.einsum("bnlhc,bnlhc->bnhc", kh, kh,
-                   preferred_element_type=ad)), eps)
-
-    # FHR projections of the current frame (ChanAttn, turtle_arch.py:583)
     ca = params["ChanAttn"]
-    q, k, v = (qkv_pre if qkv_pre is not None else _multi_proj_dw(
-        ca, [("qkv", "qkv_dwconv", 3)], x, ln, spec))
-    q = q.reshape(b, l, heads, ctok)
-    k = k.reshape(b, l, heads, ctok)
-    v = v.reshape(b, l, heads, ctok)
 
-    def norms(t):
-        return jnp.maximum(_safe_norm(
-            jnp.einsum("blhc,blhc->bhc", t, t,
+    use_stats = False
+    if spec is not None and spec.kernels == "pallas":
+        from turtlevsr_tpu.kernels.ffn import chm_stats_supported
+
+        bias_free = all(
+            "bias" not in d for d in (params["kv"], params["kv_dwconv"],
+                                      ca["qkv"], ca["qkv_dwconv"]))
+        use_stats = bias_free and chm_stats_supported(h, w, c, nf)
+
+    if use_stats:
+        # ONE pass over x + the NF aligned maps (kernels/ffn.py
+        # fused_chm_stats): q, k and every kh map stay in VMEM; only the
+        # v/vh value maps and the fp32 gram/norm statistics come back
+        from turtlevsr_tpu.kernels.vjp import call_chm_stats
+
+        ch3 = ca["qkv"]["weight"].reshape(c, 3 * c)
+        wd3 = ca["qkv_dwconv"]["weight"].reshape(3, 3, 3 * c)
+        qkv_projs = [dict(w1=ch3[:, i * c:(i + 1) * c],
+                          wd=wd3[:, :, i * c:(i + 1) * c]) for i in range(3)]
+        ch2 = params["kv"]["weight"].reshape(c, 2 * c)
+        wd2 = params["kv_dwconv"]["weight"].reshape(3, 3, 2 * c)
+        kv_projs = [dict(w1=ch2[:, i * c:(i + 1) * c],
+                         wd=wd2[:, :, i * c:(i + 1) * c]) for i in range(2)]
+        v3, vh_map, g_full, gh_full, srow = call_chm_stats(
+            x, x_sp, qkv_projs, kv_projs,
+            ln_w=ln[0] if ln else None, ln_b=(ln[1] if ln else None),
+            interpret=_pallas_interpret())
+        vh = vh_map.reshape(b, nf, l, heads, ctok)
+        v = v3.reshape(b, l, heads, ctok)
+        nq = jnp.maximum(_safe_norm(srow[:, 0, 0].astype(ad)),
+                         eps).reshape(b, heads, ctok)
+        nk = jnp.maximum(_safe_norm(srow[:, 1, 0].astype(ad)),
+                         eps).reshape(b, heads, ctok)
+        nk_h = jnp.maximum(_safe_norm(srow[:, 2:, 0].astype(ad)),
+                           eps).reshape(b, nf, heads, ctok)
+        ghb = jnp.stack(
+            [gh_full[:, :, i * ctok:(i + 1) * ctok, i * ctok:(i + 1) * ctok]
+             for i in range(heads)], axis=1).astype(ad)
+        gh = ghb.transpose(0, 1, 3, 2, 4)  # (B, heads, ctok, NF, ctok)
+        gh = gh / (nq[:, :, :, None, None]
+                   * nk_h.transpose(0, 2, 1, 3)[:, :, None])
+        gh = gh.reshape(b, heads, ctok, nf * ctok)
+        g = jnp.stack(
+            [g_full[:, i * ctok:(i + 1) * ctok, i * ctok:(i + 1) * ctok]
+             for i in range(heads)], axis=1).astype(ad)
+        g = g / (nq[:, :, :, None] * nk[:, :, None, :])
+    else:
+        xs = x_sp.reshape(b * nf, h, w, c)
+        km, vm = _multi_proj_dw(params, [("kv", "kv_dwconv", 2)], xs, None,
+                                spec)
+        kh = km.reshape(b, nf, l, heads, ctok)  # (B, NF, L, heads, ctok)
+        vh = vm.reshape(b, nf, l, heads, ctok)
+
+        nk_h = jnp.maximum(_safe_norm(
+            jnp.einsum("bnlhc,bnlhc->bnhc", kh, kh,
                        preferred_element_type=ad)), eps)
 
-    nq, nk = norms(q), norms(k)
+        # FHR projections of the current frame (ChanAttn,
+        # turtle_arch.py:583)
+        q, k, v = (qkv_pre if qkv_pre is not None else _multi_proj_dw(
+            ca, [("qkv", "qkv_dwconv", 3)], x, ln, spec))
+        q = q.reshape(b, l, heads, ctok)
+        k = k.reshape(b, l, heads, ctok)
+        v = v.reshape(b, l, heads, ctok)
 
-    gh = jnp.einsum("blhc,bnlhd->bhcnd", q, kh, preferred_element_type=ad)
-    gh = gh / (nq[:, :, :, None, None]
-               * nk_h.transpose(0, 2, 1, 3)[:, :, None])
-    gh = gh.reshape(b, heads, ctok, nf * ctok)  # frame-major token order
-    g = jnp.einsum("blhc,blhd->bhcd", q, k, preferred_element_type=ad)
-    g = g / (nq[:, :, :, None] * nk[:, :, None, :])
+        def norms(t):
+            return jnp.maximum(_safe_norm(
+                jnp.einsum("blhc,blhc->bhc", t, t,
+                           preferred_element_type=ad)), eps)
+
+        nq, nk = norms(q), norms(k)
+
+        gh = jnp.einsum("blhc,bnlhd->bhcnd", q, kh,
+                        preferred_element_type=ad)
+        gh = gh / (nq[:, :, :, None, None]
+                   * nk_h.transpose(0, 2, 1, 3)[:, :, None])
+        gh = gh.reshape(b, heads, ctok, nf * ctok)  # frame-major order
+        g = jnp.einsum("blhc,blhd->bhcd", q, k, preferred_element_type=ad)
+        g = g / (nq[:, :, :, None] * nk[:, :, None, :])
 
     scores = jnp.concatenate([gh, g], axis=-1)
     valid = jnp.concatenate(
