@@ -24,10 +24,11 @@ several of these HANG the compiler rather than erroring):
     hidden scratch; the ±W row taps are W-aligned slice reads, only the
     ±1 column taps roll;
   * column wrap-around of the flattened ±1 taps (and the roll's circular
-    wrap) is cancelled by a precomputed column mask; the clamped above/below
-    rows on the first/last image row (which would otherwise inject garbage —
-    the reference zero-pads AFTER pw1, turtle_arch.py:170-172) by
-    first/last-row masks;
+    wrap) is cancelled by an iota-derived in-kernel column mask (mask
+    INPUTS pad (rows,1) fp32 to 128 lanes — tens of MB of VMEM); the
+    clamped above/below rows on the first/last image row (which would
+    otherwise inject garbage — the reference zero-pads AFTER pw1,
+    turtle_arch.py:170-172) by first/last-row masks;
   * W % 8 == 0 is required for aligned row blocks (callers fall back to the
     XLA path otherwise).
 """
@@ -91,6 +92,32 @@ def _ln_2d(x, ln_w, ln_b, ln_mode):
     return _ln_2d_f32(x, ln_w, ln_b, ln_mode).astype(x.dtype)
 
 
+def _col_wrap_masks(n: int, w: int):
+    """In-kernel column-wrap masks, fp32 (n, 1): cml zeroes rows at col 0
+    (where the +1-shift roll wraps in the previous row's last pixel), cmr
+    zeroes col w-1. Computed from an iota instead of passed as inputs —
+    (rows, 1) fp32 mask INPUTS pad to 128 lanes in VMEM (~34 MB across the
+    six masks at 720p strip sizes, and a 103 MB scoped-vmem compile OOM at
+    256x256); iota + rem lowers fine on Mosaic (smoke-tested on chip)."""
+    col = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0),
+                      jnp.int32(w))
+    return ((col != 0).astype(jnp.float32),
+            (col != w - 1).astype(jnp.float32))
+
+
+def _border_masks(sw: int, w: int):
+    """Boundary-position masks over the sw main strip rows (bias-path
+    corrections only; the shipped configs are bias-free so these are
+    normally never emitted): ml/mr mark image columns 0 / w-1, mt/mb the
+    strip's first / last image row."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (sw, 1), 0)
+    col = jax.lax.rem(r, jnp.int32(w))
+    return ((col == 0).astype(jnp.float32),
+            (col == w - 1).astype(jnp.float32),
+            (r < w).astype(jnp.float32),
+            (r >= sw - w).astype(jnp.float32))
+
+
 def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
                e_dim, has_b1, residual, has_pair, has_po):
     """Strip program: S image rows per step + one halo row each side (the
@@ -108,8 +135,9 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     the attention branch whose residual add fuses here instead of
     materialising the summed map), w1_a, wd9_a, (w1_b, wd9_b if gate),
     bias_vecs (9 or 18 if has_b1: s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/
-    s_br per half), w2, b2, scale, cml_x, cmr_x, ml, mr, mt, mb, then
-    out_ref, xn_ref, h1_ref."""
+    s_br per half), w2, b2, scale, then out_ref, xn_ref, h1_ref. The
+    column-wrap / border masks are generated in-kernel from an iota
+    (_col_wrap_masks / _border_masks)."""
     idx = 0
 
     def take(k):
@@ -125,7 +153,7 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     w1_b, wd9_b = take(2) if mode == "gate" else (w1_a, wd9_a)
     sv_a = take(9) if has_b1 else None
     sv_b = (take(9) if mode == "gate" else sv_a) if has_b1 else None
-    w2, b2, scale, cml_x, cmr_x, ml, mr, mt, mb = take(9)
+    w2, b2, scale = take(3)
     out_ref, xn_ref, h1_ref = rest[idx:]
 
     i = pl.program_id(1)
@@ -133,6 +161,7 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
+    cml_x, cmr_x = _col_wrap_masks(n, w)
 
     if has_pair:
         # the block residual x + attn(x) fuses here: LN (and the final
@@ -176,9 +205,9 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
             # one rolled+wrap-masked base per column shift, then 3 pure
             # multiply-add taps against per-tap dw weights (VPU)
             if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
             elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
             else:
                 base = h1_ref[:]
             for di in (-1, 0, 1):
@@ -186,14 +215,15 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
                 k = (di + 1) * 3 + (dj + 1)
                 acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
         if sv is not None:
+            ml, mr, mt, mb = _border_masks(sw, w)
             s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
                 v[:].astype(jnp.float32) for v in sv]
-            bias_map = (s_all - ml[:] * s_l - mr[:] * s_r
-                        - f0 * mt[:] * s_t - fl * mb[:] * s_b
-                        + f0 * (mt[:] * ml[:]) * s_tl
-                        + f0 * (mt[:] * mr[:]) * s_tr
-                        + fl * (mb[:] * ml[:]) * s_bl
-                        + fl * (mb[:] * mr[:]) * s_br)
+            bias_map = (s_all - ml * s_l - mr * s_r
+                        - f0 * mt * s_t - fl * mb * s_b
+                        + f0 * (mt * ml) * s_tl
+                        + f0 * (mt * mr) * s_tr
+                        + fl * (mb * ml) * s_bl
+                        + fl * (mb * mr) * s_br)
             acc = acc + bias_map
         return acc
 
@@ -236,7 +266,6 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
         w1, wd9 = take(2)
         sv = take(9) if has_b1 else None
         projs.append((w1, wd9, sv))
-    cml_x, cmr_x, ml, mr, mt, mb = take(6)
     out_refs = rest[idx: idx + n_out]
     xn_ref, h1_ref = rest[idx + n_out:]
 
@@ -245,6 +274,7 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
+    cml_x, cmr_x = _col_wrap_masks(n, w)
 
     xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
     xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
@@ -262,9 +292,9 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
         acc = jnp.zeros((sw, e_dim), jnp.float32)
         for dj in (-1, 0, 1):
             if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
             elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
             else:
                 base = h1_ref[:]
             for di in (-1, 0, 1):
@@ -272,14 +302,15 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
                 k = (di + 1) * 3 + (dj + 1)
                 acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
         if sv is not None:
+            ml, mr, mt, mb = _border_masks(sw, w)
             s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
                 v[:].astype(jnp.float32) for v in sv]
-            acc = acc + (s_all - ml[:] * s_l - mr[:] * s_r
-                         - f0 * mt[:] * s_t - fl * mb[:] * s_b
-                         + f0 * (mt[:] * ml[:]) * s_tl
-                         + f0 * (mt[:] * mr[:]) * s_tr
-                         + fl * (mb[:] * ml[:]) * s_bl
-                         + fl * (mb[:] * mr[:]) * s_br)
+            acc = acc + (s_all - ml * s_l - mr * s_r
+                         - f0 * mt * s_t - fl * mb * s_b
+                         + f0 * (mt * ml) * s_tl
+                         + f0 * (mt * mr) * s_tr
+                         + fl * (mb * ml) * s_bl
+                         + fl * (mb * mr) * s_br)
         out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -295,9 +326,9 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
     scores in XLA and the attention application itself folds into the FFN
     kernel's pair/po path as po' = blockdiag(attn^T) @ W_po.
 
-    rest: 3 x (w1, wd9, [9 bias vecs]) for q/k/v, cml_x, cmr_x, ml, mr,
-    mt, mb, then v_ref (blocked rows), g_ref (1, e, e) fp32, s_ref
-    (1, 8, 2e) fp32 (row 0 = [sum q^2 | sum k^2]), xn_ref, h1_ref."""
+    rest: 3 x (w1, wd9, [9 bias vecs]) for q/k/v, then v_ref (blocked
+    rows), g_ref (1, e, e) fp32, s_ref (1, 8, 2e) fp32 (row 0 =
+    [sum q^2 | sum k^2]), xn_ref, h1_ref."""
     idx = 0
 
     def take(k):
@@ -311,7 +342,6 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
         w1, wd9 = take(2)
         sv = take(9) if has_b1 else None
         projs.append((w1, wd9, sv))
-    cml_x, cmr_x, ml, mr, mt, mb = take(6)
     v_ref, g_ref, s_ref = rest[idx: idx + 3]
     xn_ref, h1_ref = rest[idx + 3:]
 
@@ -320,6 +350,7 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
+    cml_x, cmr_x = _col_wrap_masks(n, w)
 
     xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
     xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
@@ -337,9 +368,9 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
         acc = jnp.zeros((sw, e_dim), jnp.float32)
         for dj in (-1, 0, 1):
             if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
             elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
             else:
                 base = h1_ref[:]
             for di in (-1, 0, 1):
@@ -347,14 +378,15 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
                 k = (di + 1) * 3 + (dj + 1)
                 acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
         if sv is not None:
+            ml, mr, mt, mb = _border_masks(sw, w)
             s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
                 v[:].astype(jnp.float32) for v in sv]
-            acc = acc + (s_all - ml[:] * s_l - mr[:] * s_r
-                         - f0 * mt[:] * s_t - fl * mb[:] * s_b
-                         + f0 * (mt[:] * ml[:]) * s_tl
-                         + f0 * (mt[:] * mr[:]) * s_tr
-                         + fl * (mb[:] * ml[:]) * s_bl
-                         + fl * (mb[:] * mr[:]) * s_br)
+            acc = acc + (s_all - ml * s_l - mr * s_r
+                         - f0 * mt * s_t - fl * mb * s_b
+                         + f0 * (mt * ml) * s_tl
+                         + f0 * (mt * mr) * s_tr
+                         + fl * (mb * ml) * s_bl
+                         + fl * (mb * mr) * s_br)
         return acc
 
     # cast to the model dtype first: the gram must see exactly the values
@@ -388,7 +420,8 @@ def _strip_mem_stats(s: int, w: int, c: int, e: int) -> int:
             + 2 * 2 * s * w * e * 4  # held q/k strips (+ fp32 gram copies)
             + 4 * s * w * c * 2  # double-buffered input blocks
             + 2 * s * w * e * 2  # double-buffered v output
-            + 2 * e * e * 4)     # gram block
+            + 2 * e * e * 4      # gram block
+            + 2 * n * 512)       # in-kernel (n,1) wrap-mask vregs
 
 
 def _pick_strip_stats(h: int, w: int, c: int, e: int) -> int:
@@ -443,16 +476,6 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
     sw = s_rows * w
     n = sw + 2 * w
 
-    arange_n = np.arange(n)
-    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
-    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
-    col = np.arange(sw) % w
-    row = np.arange(sw) // w
-    ml = jnp.asarray((col == 0).astype(np.float32)[:, None])
-    mr = jnp.asarray((col == w - 1).astype(np.float32)[:, None])
-    mt = jnp.asarray((row == 0).astype(np.float32)[:, None])
-    mb = jnp.asarray((row == s_rows - 1).astype(np.float32)[:, None])
-    args += [cml_x, cmr_x, ml, mr, mt, mb]
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     kernel = functools.partial(
@@ -511,7 +534,7 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
     q, k and each kh_n. Bias-free configs only (the shipped ones).
 
     rest: q/k/v (w1, wd9) x3, kv (w1_k, wd9_k, w1_v, wd9_v) shared across
-    frames, cml_x, cmr_x, then v_ref (blocked), vh_ref (blocked, per-frame
+    frames, then v_ref (blocked), vh_ref (blocked, per-frame
     leading dim), g_ref (1, e, e), gh_ref (1, nf, e, e), s_ref
     (1, nf + 2, 8, e) (row 0 of [idx] = sum sq: idx 0 = q, 1 = k,
     2+n = kh_n), xn_ref, h1_ref."""
@@ -525,7 +548,6 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
 
     (w1_q, wd9_q, w1_k, wd9_k, w1_v, wd9_v,
      w1_hk, wd9_hk, w1_hv, wd9_hv) = take(10)
-    cml_x, cmr_x = take(2)
     v_ref, vh_ref, g_ref, gh_ref, s_ref = rest[idx: idx + 5]
     xn_ref, h1_ref = rest[idx + 5:]
 
@@ -534,6 +556,7 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
+    cml_x, cmr_x = _col_wrap_masks(n, w)
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
     cdt = xm.dtype
@@ -544,9 +567,9 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         acc = jnp.zeros((sw, e_dim), jnp.float32)
         for dj in (-1, 0, 1):
             if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x[:]
+                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
             elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
             else:
                 base = h1_ref[:]
             for di in (-1, 0, 1):
@@ -608,7 +631,8 @@ def _strip_mem_chm(s: int, w: int, c: int, e: int, nf: int) -> int:
             + 3 * s * w * e * 4  # held q/k strips + gram fp32 copies
             + 4 * s * w * c * 2 * (1 + nf)  # double-buffered x + x_sp blocks
             + 2 * s * w * e * 2 * (1 + nf)  # double-buffered v + vh outputs
-            + (1 + nf) * e * e * 4)         # gram blocks
+            + (1 + nf) * e * e * 4          # gram blocks
+            + 2 * n * 512)                  # in-kernel wrap-mask vregs
 
 
 def _pick_strip_chm(h: int, w: int, c: int, e: int, nf: int) -> int:
@@ -651,10 +675,6 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
     assert s_rows, "no feasible strip size; use the XLA path"
     sw = s_rows * w
     n = sw + 2 * w
-    arange_n = np.arange(n)
-    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
-    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
-    args += [cml_x, cmr_x]
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     kernel = functools.partial(
@@ -748,7 +768,8 @@ def _strip_mem(s: int, w: int, c: int, e: int, has_pair: bool = False) -> int:
            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
            + 4 * s * w * e * 4  # acc/hdb/gelu transients
            + 3 * s * w * c * 4  # out accumulator, residual
-           + 4 * s * w * c * 2)  # double-buffered main/out blocks
+           + 4 * s * w * c * 2   # double-buffered main/out blocks
+           + 2 * n * 512)        # in-kernel (n,1) wrap-mask vregs
     if has_pair:
         # x2 streams in as three more blocked inputs (halo above / main /
         # halo below), double-buffered, plus the po weight matrix
@@ -787,7 +808,7 @@ def fused_ln_qkv_dw(x, *, ln_w=None, ln_b=None, w1, b1=None, wd, bd=None,
                            interpret=interpret)
 
 
-def _conv3_kernel(xa, xm, xb, w9, bias, cml_x, cmr_x, out_ref, xn_ref,
+def _conv3_kernel(xa, xm, xb, w9, bias, out_ref, xn_ref,
                   acc_ref, *, s_rows, w_img, cout):
     """Dense 3x3 conv as 9 shifted MXU matmuls over one row strip.
 
@@ -802,6 +823,7 @@ def _conv3_kernel(xa, xm, xb, w9, bias, cml_x, cmr_x, out_ref, xn_ref,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
+    cml_x, cmr_x = _col_wrap_masks(n, w)
 
     xn_ref[0:w, :] = xa[0].astype(jnp.float32)
     xn_ref[w:w + sw, :] = xm[0].astype(jnp.float32)
@@ -818,9 +840,9 @@ def _conv3_kernel(xa, xm, xb, w9, bias, cml_x, cmr_x, out_ref, xn_ref,
     acc_ref[:] = jnp.zeros((sw, cout), jnp.float32)
     for dj in (-1, 0, 1):
         if dj == -1:
-            base = pltpu.roll(xn_ref[:], shift=1, axis=0) * cml_x[:]
+            base = pltpu.roll(xn_ref[:], shift=1, axis=0) * cml_x
         elif dj == 1:
-            base = pltpu.roll(xn_ref[:], shift=n - 1, axis=0) * cmr_x[:]
+            base = pltpu.roll(xn_ref[:], shift=n - 1, axis=0) * cmr_x
         else:
             base = xn_ref[:]
         for di in (-1, 0, 1):
@@ -844,7 +866,8 @@ def _pick_strip_conv3(h: int, w: int, cin: int, cout: int) -> int:
         mem = (n * cin * 8          # fp32 scratch + one rolled base
                + 3 * s * w * cout * 4   # fp32 acc scratch + dot transients
                + 4 * s * w * cin * 2    # double-buffered inputs
-               + 2 * s * w * cout * 2)  # double-buffered output
+               + 2 * s * w * cout * 2   # double-buffered output
+               + 2 * n * 512)           # in-kernel wrap-mask vregs
         if h % s == 0 and mem <= _VMEM_BUDGET // 2:
             best = s
     return best
@@ -863,9 +886,6 @@ def fused_conv3x3(x, weight, bias=None, *, interpret: bool = False):
     assert s_rows, "no feasible strip size; use the XLA conv"
     sw = s_rows * w
     n = sw + 2 * w
-    arange_n = np.arange(n)
-    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
-    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     last_row = h - 1
@@ -884,7 +904,7 @@ def fused_conv3x3(x, weight, bias=None, *, interpret: bool = False):
                          lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
                                         0),
                          memory_space=pltpu.VMEM),
-        ] + [vmem()] * 4,
+        ] + [vmem()] * 2,
         out_specs=pl.BlockSpec((1, sw, cout), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, cout), dt),
@@ -894,7 +914,7 @@ def fused_conv3x3(x, weight, bias=None, *, interpret: bool = False):
             vmem_limit_bytes=_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(xf, xf, xf, w9, bias_a, cml_x, cmr_x)
+    )(xf, xf, xf, w9, bias_a)
     return out.reshape(b, h, w, cout)
 
 
@@ -909,7 +929,8 @@ def _strip_mem_multi(s: int, w: int, c: int, e: int, n_out: int) -> int:
             + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
             + 2 * s * w * e * 4  # acc transients
             + 4 * s * w * c * 2  # double-buffered main input blocks
-            + 2 * n_out * s * w * e * 2)  # double-buffered outputs
+            + 2 * n_out * s * w * e * 2  # double-buffered outputs
+            + 2 * n * 512)       # in-kernel (n,1) wrap-mask vregs
 
 
 def _pick_strip_multi(h: int, w: int, c: int, e: int, n_out: int) -> int:
@@ -967,16 +988,6 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
     sw = s_rows * w
     n = sw + 2 * w
 
-    arange_n = np.arange(n)
-    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
-    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
-    col = np.arange(sw) % w
-    row = np.arange(sw) // w
-    ml = jnp.asarray((col == 0).astype(np.float32)[:, None])
-    mr = jnp.asarray((col == w - 1).astype(np.float32)[:, None])
-    mt = jnp.asarray((row == 0).astype(np.float32)[:, None])
-    mb = jnp.asarray((row == s_rows - 1).astype(np.float32)[:, None])
-    args += [cml_x, cmr_x, ml, mr, mt, mb]
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid = (b, h // s_rows)
@@ -1114,20 +1125,8 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     sw = s_rows * w
     n = sw + 2 * w
 
-    # wrap masks for the rolled LN buffer (n rows) and boundary-position
-    # masks for the bias corrections (sw rows)
-    arange_n = np.arange(n)
-    cml_x = jnp.asarray((arange_n % w != 0).astype(np.float32)[:, None])
-    cmr_x = jnp.asarray((arange_n % w != w - 1).astype(np.float32)[:, None])
-    col = np.arange(sw) % w
-    row = np.arange(sw) // w
-    ml = jnp.asarray((col == 0).astype(np.float32)[:, None])
-    mr = jnp.asarray((col == w - 1).astype(np.float32)[:, None])
-    mt = jnp.asarray((row == 0).astype(np.float32)[:, None])
-    mb = jnp.asarray((row == s_rows - 1).astype(np.float32)[:, None])
-
     w2a = w2 if w2 is not None else zeros((1, out_c))
-    args += [w2a, b2a, sc, cml_x, cmr_x, ml, mr, mt, mb]
+    args += [w2a, b2a, sc]
 
     grid = (b, h // s_rows)
     kernel = functools.partial(
