@@ -106,7 +106,8 @@ def main():
                               kernels=args.kernels)
     params = jax.tree.map(lambda p: p.astype(dtype),
                           init_params(jax.random.PRNGKey(0), cfg))
-    fps = bench_engine(cfg, params, frames720, "tiled", 256, 64, dtype,
+    frames_lq = [rng.rand(180, 320, 3).astype(np.float32) for _ in range(3)]
+    fps = bench_engine(cfg, params, frames_lq, "tiled", 256, 64, dtype,
                        args.iters)
     results.append({"metric": "sr_x4_720p_tiled256_fps_1chip",
                     "value": round(fps, 3), "unit": "frames/s",
