@@ -413,18 +413,35 @@ def fhr_apply(params, x, heads: int, slot: Optional[dict], ln=None,
 # (turtle_arch.py:487-492). Checkpoints bake this in; we reproduce it.
 
 
-def _lattice_split(x, ws: int):
-    """(B,h,w,c) -> (B, H*W, ws*ws*c) with H=h//ws, feature order (p1,p2,c)."""
+def _lattice_split(x, ws: int, spec=None):
+    """(B,h,w,c) -> (B, H*W, ws*ws*c) with H=h//ws, feature order (p1,p2,c).
+
+    With kernels == 'pallas' and c % 128 == 0 (dec2/dec3 widths) the
+    permutation runs as a Pallas block-copy grid at HBM bandwidth
+    (kernels/lattice.py); XLA's 6-D transpose otherwise (at c=64 the
+    64-lane copy grain rules the kernel out — see lattice.py docstring)."""
     b, h, w, c = x.shape
+    if spec is not None and spec.kernels == "pallas":
+        from turtlevsr_tpu.kernels.lattice import (lattice_split_op,
+                                                   lattice_supported)
+
+        if lattice_supported(h, w, c, ws):
+            return lattice_split_op(x, ws, _pallas_interpret())
     hh, ww = h // ws, w // ws
     t = x.reshape(b, ws, hh, ws, ww, c).transpose(0, 2, 4, 1, 3, 5)
     return t.reshape(b, hh * ww, ws * ws * c)
 
 
-def _lattice_merge(t, ws: int, h: int, w: int):
+def _lattice_merge(t, ws: int, h: int, w: int, spec=None):
     b, hw, d = t.shape
     hh, ww = h // ws, w // ws
     c = d // (ws * ws)
+    if spec is not None and spec.kernels == "pallas":
+        from turtlevsr_tpu.kernels.lattice import (lattice_merge_op,
+                                                   lattice_supported)
+
+        if lattice_supported(h, w, c, ws):
+            return lattice_merge_op(t, ws, h, w, _pallas_interpret())
     x = t.reshape(b, hh, ww, ws, ws, c).transpose(0, 3, 1, 4, 2, 5)
     return x.reshape(b, h, w, c)
 
@@ -456,11 +473,12 @@ def sab_init(key, dim: int, bias: bool, window_size: int,
 
 
 def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int,
-                projected: bool = False):
+                projected: bool = False, spec=None):
     """Un-lattice each aligned frame, project (unless the v tokens were
     pre-projected), zero invalid frames."""
     b, nf, hw, d = out_tok.shape
-    maps = _lattice_merge(out_tok.reshape(b * nf, hw, d), ws, h, w)
+    maps = _lattice_merge(out_tok.reshape(b * nf, hw, d), ws, h, w,
+                          spec=spec)
     if not projected:
         maps = _conv(params["project_out"], maps)
     c = maps.shape[-1]
@@ -511,7 +529,7 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
 
     q = l2_normalize(q2.reshape(b, hq * wq, 2 * c), axis=-1)
     k = l2_normalize(k2.reshape(b, hq * wq, 2 * c), axis=-1)
-    v = _lattice_split(v_map, ws)  # (B, HW, ws*ws*c)
+    v = _lattice_split(v_map, ws, spec=spec)  # (B, HW, ws*ws*c)
 
     if slot is not None:
         n_frames = slot["k"].shape[1]
@@ -580,7 +598,7 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     out_tok = jnp.einsum("bnqk,bnkd->bnqd", a.astype(v_all.dtype), v_all,
                          preferred_element_type=ad).astype(x.dtype)
     return (_sab_finish(params, out_tok, fvalid, ws, h, w,
-                        projected=pre_project), fvalid, new_slot)
+                        projected=pre_project, spec=spec), fvalid, new_slot)
 
 
 def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
@@ -602,8 +620,8 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     # windowed v -- pre-projecting the one current map is exact (bias incl.)
     v_map = _conv(params["project_out"], v_map)
 
-    k = l2_normalize(_lattice_split(k_, ws), axis=-1)
-    v = _lattice_split(v_map, ws)
+    k = l2_normalize(_lattice_split(k_, ws, spec=spec), axis=-1)
+    v = _lattice_split(v_map, ws, spec=spec)
 
     if slot is not None:
         n_frames = slot["k"].shape[1]
@@ -616,8 +634,8 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         fvalid = jnp.ones((1,), bool)
         new_slot = None
 
-    return (_sab_finish(params, v_all, fvalid, ws, h, w, projected=True),
-            fvalid, new_slot)
+    return (_sab_finish(params, v_all, fvalid, ws, h, w, projected=True,
+                        spec=spec), fvalid, new_slot)
 
 
 # ---------------------------------------------------------------------------
