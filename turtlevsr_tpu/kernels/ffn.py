@@ -246,6 +246,115 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _col_wrap_masks_lane(n: int, w: int):
+    """Lane-axis variants of _col_wrap_masks, (1, n) fp32, for the
+    channels-major hidden layout (pixels ride the lane dim there)."""
+    col = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (1, n), 1),
+                      jnp.int32(w))
+    return ((col != 0).astype(jnp.float32),
+            (col != w - 1).astype(jnp.float32))
+
+
+def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows,
+                       w_img, e_dim, residual, has_pair, has_po):
+    """CHANNELS-MAJOR gate strip program (bias-free GFFW only).
+
+    Same chain as _dw_kernel's gate mode, but the hidden activations live
+    TRANSPOSED as (e, rows): the VPU pads the minor (lane) dim to 128, so
+    a 160-wide hidden (c=64 levels, expansion 2.5) wastes 1.6x of every
+    tap/gelu/gate op in the (rows, e) layout — in (e, rows) the hidden dim
+    rides SUBLANES (granularity 8, zero padding) and the pixel dim is an
+    exact lane multiple. No transpose ops exist anywhere: dot_general
+    dimension numbers produce h^T = w1^T @ xn^T directly from the
+    pixels-major LN scratch, and the output dot act^T-contracted-on-e
+    lands back in pixels-major. The ±1 column taps become LANE rolls
+    (fp32, smoke-tested on chip), the ±w row taps 128-multiple lane
+    slices (hence the w % 128 gate), and the gate halves sublane slices.
+
+    rest layout: (xa2, xm2, xb2 if has_pair, + wpo, bpo if has_po),
+    w1_a, w1_b, 9 x wdT_a (e, 1) fp32, 9 x wdT_b, w2, b2, scale,
+    then out_ref, xn_ref, h1t_ref ((e, n) fp32 scratch)."""
+    idx = 0
+
+    def take(k):
+        nonlocal idx
+        out = rest[idx: idx + k]
+        idx += k
+        return out
+
+    if has_pair:
+        xa2, xm2, xb2 = take(3)
+        wpo, bpo = take(2) if has_po else (None, None)
+    w1_a, w1_b = take(2)
+    wdT_a = take(9)
+    wdT_b = take(9)
+    w2, b2, scale = take(3)
+    out_ref, xn_ref, h1t_ref = rest[idx:]
+
+    i = pl.program_id(1)
+    last = pl.num_programs(1) - 1
+    w = w_img
+    sw = s_rows * w
+    n = sw + 2 * w
+    cml_l, cmr_l = _col_wrap_masks_lane(n, w)
+
+    if has_pair:
+        def pair_sum(xr, x2r):
+            a2 = x2r[0]
+            if has_po:
+                a2 = jnp.dot(a2, wpo[0],
+                             preferred_element_type=jnp.float32
+                             ).astype(xm.dtype)
+                a2 = a2 + bpo[:].astype(xm.dtype)
+            return (xr[0].astype(jnp.float32)
+                    + a2.astype(jnp.float32)).astype(xm.dtype)
+
+        x_top = pair_sum(xa, xa2)
+        x_mid = pair_sum(xm, xm2)
+        x_bot = pair_sum(xb, xb2)
+    else:
+        x_top, x_mid, x_bot = xa[0], xm[0], xb[0]
+    xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
+    xn_ref[w:w + sw, :] = _ln_2d_f32(x_mid, ln_w, ln_b, ln_mode)
+    xn_ref[w + sw:n, :] = _ln_2d_f32(x_bot, ln_w, ln_b, ln_mode)
+    f0 = (i == 0).astype(jnp.float32)
+    fl = (i == last).astype(jnp.float32)
+    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
+    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+
+    cdt = xm.dtype
+    xn_cdt = xn_ref[:].astype(cdt)
+
+    def dw_half_cm(w1h, wdTh):
+        # h^T = w1^T @ xn^T via dimension numbers — no transpose op
+        h1t_ref[:] = jax.lax.dot_general(
+            w1h[:], xn_cdt, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = jnp.zeros((e_dim, sw), jnp.float32)
+        for dj in (-1, 0, 1):
+            if dj == -1:
+                base = pltpu.roll(h1t_ref[:], shift=1, axis=1) * cml_l
+            elif dj == 1:
+                base = pltpu.roll(h1t_ref[:], shift=n - 1, axis=1) * cmr_l
+            else:
+                base = h1t_ref[:]
+            for di in (-1, 0, 1):
+                lo = w + di * w
+                k = (di + 1) * 3 + (dj + 1)
+                acc = acc + base[:, lo:lo + sw] * wdTh[k][:]
+        return acc
+
+    hdb = dw_half_cm(w1_b, wdT_b)
+    act = _gelu_exact(dw_half_cm(w1_a, wdT_a)) * hdb
+    out = jax.lax.dot_general(
+        act.astype(cdt), w2[:], dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = (out + b2[:].astype(jnp.float32)) * scale[:].astype(jnp.float32)
+    if residual:
+        out = out + x_mid.astype(jnp.float32)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
 def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
                      w_img, e_dim, has_b1):
     """Multi-output strip program: ONE LN pass over the strip, then N
@@ -1112,8 +1221,21 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         s_b = tb[6:].sum(0)          # di == +1
         return mats + [s_all, s_l, s_r, s_t, s_b, tb[0], tb[2], tb[6], tb[8]]
 
+    # channels-major gate layout: wins when the hidden width pads badly on
+    # the lane dim AND the ±w row taps stay 128-aligned lane slices.
+    # Measured 736x1280 e=160 (pad 1.6x): 8.12 -> 6.05 ms; 368x640 e=320
+    # (pad 1.2x): 1.88 -> 2.11 ms — the lane-roll/layout overhead eats a
+    # 1.2x saving, hence the >= 1.5x pad-ratio gate.
+    pad_e = 128 * ((e_dim + 127) // 128)
+    chan_major = (mode == "gate" and not has_b1
+                  and 2 * pad_e >= 3 * e_dim and w % 128 == 0)
+
     a0 = half_args(0)
-    if mode == "gate":
+    if chan_major:
+        wdT = lambda lo: [wd9[k, lo:lo + e_dim][:, None]  # noqa: E731
+                          for k in range(9)]
+        args = [a0[0], w1[:, e_dim:2 * e_dim]] + wdT(0) + wdT(e_dim)
+    elif mode == "gate":
         a1 = half_args(e_dim)
         args = a0[:2] + a1[:2] + a0[2:] + a1[2:]
     else:
@@ -1129,10 +1251,16 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     args += [w2a, b2a, sc]
 
     grid = (b, h // s_rows)
-    kernel = functools.partial(
-        _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-        e_dim=e_dim, has_b1=has_b1, residual=residual,
-        has_pair=x2 is not None, has_po=po_w is not None)
+    if chan_major:
+        kernel = functools.partial(
+            _dw_gate_cm_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
+            e_dim=e_dim, residual=residual,
+            has_pair=x2 is not None, has_po=po_w is not None)
+    else:
+        kernel = functools.partial(
+            _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
+            e_dim=e_dim, has_b1=has_b1, residual=residual,
+            has_pair=x2 is not None, has_po=po_w is not None)
     last_row = h - 1
     s_ = s_rows
     halo_specs = [
@@ -1177,7 +1305,9 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         out_shape=jax.ShapeDtypeStruct((b, h * w, out_c), dt),
         scratch_shapes=[
             pltpu.VMEM((n, c), jnp.float32),      # LN(x) with halo rows
-            pltpu.VMEM((n, e_dim), jnp.float32),  # pw1 hidden (rollable)
+            # pw1 hidden (rollable); channels-major keeps it transposed
+            pltpu.VMEM((e_dim, n) if chan_major else (n, e_dim),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
