@@ -255,6 +255,66 @@ def _col_wrap_masks_lane(n: int, w: int):
             (col != w - 1).astype(jnp.float32))
 
 
+def _chan_major_ok(e_dim: int, w: int, has_b1: bool) -> bool:
+    """The channels-major hidden layout wins when the hidden width pads
+    badly on the lane dim (>= 1.5x, i.e. e in {64, 160, ...}) and the ±w
+    row taps stay 128-aligned lane slices. Bias-free chains only (the
+    shipped configs)."""
+    pad_e = 128 * ((e_dim + 127) // 128)
+    return (not has_b1) and w % 128 == 0 and 2 * pad_e >= 3 * e_dim
+
+
+def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim):
+    """CHANNELS-MAJOR pw1 + dw3x3 chain: the hidden activations live
+    transposed (e, rows) so a badly-lane-padding e (64 -> 128, 160 -> 256)
+    rides SUBLANES (granularity 8, zero waste) through the VPU-bound tap
+    arithmetic. h^T = w1^T @ xn^T comes straight out of dot_general
+    dimension numbers (no transpose op); ±1 column taps are fp32 LANE
+    rolls, ±w row taps 128-multiple lane slices. wdTh: 9 (e, 1) fp32 tap
+    refs. Returns the fp32 (e, sw) accumulator."""
+    h1t_ref[:] = jax.lax.dot_general(
+        w1h[:], xn_cdt, dimension_numbers=(((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc = jnp.zeros((e_dim, sw), jnp.float32)
+    for dj in (-1, 0, 1):
+        if dj == -1:
+            base = pltpu.roll(h1t_ref[:], shift=1, axis=1) * cml_l
+        elif dj == 1:
+            base = pltpu.roll(h1t_ref[:], shift=n - 1, axis=1) * cmr_l
+        else:
+            base = h1t_ref[:]
+        for di in (-1, 0, 1):
+            lo = w + di * w
+            k = (di + 1) * 3 + (dj + 1)
+            acc = acc + base[:, lo:lo + sw] * wdTh[k][:]
+    return acc
+
+
+def _cm_to_rows(acc):
+    """(e, rows) fp32 -> (rows, e) fp32 via an identity matmul. Each output
+    element is a single 1.0 * x product (every other term is 0 * y), so
+    the transpose is numerically EXACT — the cast-to-model-dtype afterwards
+    matches the pixels-major path bitwise."""
+    e = acc.shape[0]
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (e, e), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (e, e), 1)
+             ).astype(jnp.float32)
+    return jax.lax.dot_general(acc, ident,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _cm_sq_row(aT):
+    """Squared-norm row (1, e) of a channels-major (e, rows) activation —
+    the lane-dim reduction lands in the right orientation via a ones-row
+    contraction (trivial MXU work)."""
+    af = aT.astype(jnp.float32)
+    ones = jnp.ones((1, aT.shape[1]), jnp.float32)
+    return jax.lax.dot_general(ones, af * af,
+                               dimension_numbers=(((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows,
                        w_img, e_dim, residual, has_pair, has_po):
     """CHANNELS-MAJOR gate strip program (bias-free GFFW only).
@@ -326,23 +386,8 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows,
     xn_cdt = xn_ref[:].astype(cdt)
 
     def dw_half_cm(w1h, wdTh):
-        # h^T = w1^T @ xn^T via dimension numbers — no transpose op
-        h1t_ref[:] = jax.lax.dot_general(
-            w1h[:], xn_cdt, dimension_numbers=(((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = jnp.zeros((e_dim, sw), jnp.float32)
-        for dj in (-1, 0, 1):
-            if dj == -1:
-                base = pltpu.roll(h1t_ref[:], shift=1, axis=1) * cml_l
-            elif dj == 1:
-                base = pltpu.roll(h1t_ref[:], shift=n - 1, axis=1) * cmr_l
-            else:
-                base = h1t_ref[:]
-            for di in (-1, 0, 1):
-                lo = w + di * w
-                k = (di + 1) * 3 + (dj + 1)
-                acc = acc + base[:, lo:lo + sw] * wdTh[k][:]
-        return acc
+        return _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l,
+                         w=w, sw=sw, n=n, e_dim=e_dim)
 
     hdb = dw_half_cm(w1_b, wdT_b)
     act = _gelu_exact(dw_half_cm(w1_a, wdT_a)) * hdb
@@ -424,7 +469,7 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
 
 
 def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
-                      e_dim, has_b1):
+                      e_dim, has_b1, chan_major=False):
     """Channel-attention front: the q/k/v projection chains of one block,
     but q and k NEVER leave VMEM — the kernel writes only the v map plus
     the fp32 statistics channel attention actually needs (turtle_arch.py
@@ -448,6 +493,10 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
 
     projs = []
     for _ in range(3):
+        if chan_major:
+            w1 = take(1)[0]
+            projs.append((w1, take(9), None))
+            continue
         w1, wd9 = take(2)
         sv = take(9) if has_b1 else None
         projs.append((w1, wd9, sv))
@@ -459,7 +508,6 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
-    cml_x, cmr_x = _col_wrap_masks(n, w)
 
     xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
     xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
@@ -471,6 +519,32 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
 
     cdt = xm.dtype
     xn_cdt = xn_ref[:].astype(cdt)
+
+    if chan_major:
+        # channels-major chains: q^T/k^T stay (e, rows) — the gram and the
+        # squared-norm rows contract over the lane (pixel) dim directly,
+        # and only the v map pays the exact identity-matmul transpose
+        cml_l, cmr_l = _col_wrap_masks_lane(n, w)
+        ch = lambda p: _cm_chain(xn_cdt, p[0], p[1], h1_ref,  # noqa: E731
+                                 cml_l, cmr_l, w=w, sw=sw, n=n, e_dim=e_dim)
+        qT = ch(projs[0]).astype(cdt)
+        kT = ch(projs[1]).astype(cdt)
+        v_ref[0] = _cm_to_rows(ch(projs[2])).astype(v_ref.dtype)
+        g = jax.lax.dot_general(qT, kT,
+                                dimension_numbers=(((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+
+        @pl.when(i == 0)
+        def _zero_cm():
+            g_ref[0] = jnp.zeros_like(g_ref[0])
+            s_ref[0] = jnp.zeros_like(s_ref[0])
+
+        g_ref[0] = g_ref[0] + g
+        s_ref[0, 0:1, :] = (s_ref[0, 0:1, :] + jnp.concatenate(
+            [_cm_sq_row(qT), _cm_sq_row(kT)], axis=1))
+        return
+
+    cml_x, cmr_x = _col_wrap_masks(n, w)
 
     def chain(w1h, wd9h, sv):
         h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
@@ -565,9 +639,13 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
 
     has_b1 = any(p.get("b1") is not None or p.get("bd") is not None
                  for p in projs)
+    chan_major = _chan_major_ok(e_dim, w, has_b1)
     args = []
     for p in projs:
         wd9 = p["wd"].reshape(9, e_dim).astype(jnp.float32)
+        if chan_major:
+            args += [p["w1"], *[wd9[k][:, None] for k in range(9)]]
+            continue
         args += [p["w1"], wd9]
         if has_b1:
             b1f = (p.get("b1") if p.get("b1") is not None
@@ -589,7 +667,7 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     kernel = functools.partial(
         _qkv_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-        e_dim=e_dim, has_b1=has_b1)
+        e_dim=e_dim, has_b1=has_b1, chan_major=chan_major)
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, c)
@@ -622,7 +700,8 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
         ),
         scratch_shapes=[
             pltpu.VMEM((n, c), jnp.float32),
-            pltpu.VMEM((n, e_dim), jnp.float32),
+            pltpu.VMEM((e_dim, n) if chan_major else (n, e_dim),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -633,7 +712,7 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
 
 
 def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
-                      s_rows, w_img, e_dim, n_frames):
+                      s_rows, w_img, e_dim, n_frames, chan_major=False):
     """CausalHistoryModel front (turtle_arch.py:535-585), one pass: the
     FHR q/k/v chains over LN(x) AND the kv embedding chains over every
     aligned frame x_sp[n] (NO LayerNorm — kv_dwconv(kv(x_sp)), ref :572-578)
@@ -655,8 +734,13 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         idx += k
         return out
 
-    (w1_q, wd9_q, w1_k, wd9_k, w1_v, wd9_v,
-     w1_hk, wd9_hk, w1_hv, wd9_hv) = take(10)
+    if chan_major:
+        (w1_q, w1_k, w1_v, w1_hk, w1_hv) = take(5)
+        wdT_q, wdT_k, wdT_v, wdT_hk, wdT_hv = (take(9), take(9), take(9),
+                                               take(9), take(9))
+    else:
+        (w1_q, wd9_q, w1_k, wd9_k, w1_v, wd9_v,
+         w1_hk, wd9_hk, w1_hv, wd9_hv) = take(10)
     v_ref, vh_ref, g_ref, gh_ref, s_ref = rest[idx: idx + 5]
     xn_ref, h1_ref = rest[idx + 5:]
 
@@ -665,10 +749,18 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
-    cml_x, cmr_x = _col_wrap_masks(n, w)
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
     cdt = xm.dtype
+
+    if chan_major:
+        cml_l, cmr_l = _col_wrap_masks_lane(n, w)
+
+        def chain_cm(w1h, wdTh):
+            return _cm_chain(xn_ref[:].astype(cdt), w1h, wdTh, h1_ref,
+                             cml_l, cmr_l, w=w, sw=sw, n=n, e_dim=e_dim)
+    else:
+        cml_x, cmr_x = _col_wrap_masks(n, w)
 
     def chain(w1h, wd9h):
         h1_ref[:] = jnp.dot(xn_ref[:].astype(cdt), w1h[:],
@@ -713,6 +805,31 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         g_ref[0] = jnp.zeros_like(g_ref[0])
         gh_ref[0] = jnp.zeros_like(gh_ref[0])
         s_ref[0] = jnp.zeros_like(s_ref[0])
+
+    if chan_major:
+        # q^T/k^T/kh^T stay (e, rows); grams/norms contract over lanes,
+        # only the v/vh maps pay the exact identity-matmul transpose
+        def gram_cm(a, bb):
+            return jax.lax.dot_general(
+                a, bb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        fill(xa[0], xm[0], xb[0], True)
+        qT = chain_cm(w1_q, wdT_q).astype(cdt)
+        kT = chain_cm(w1_k, wdT_k).astype(cdt)
+        v_ref[0] = _cm_to_rows(chain_cm(w1_v, wdT_v)).astype(v_ref.dtype)
+        g_ref[0] = g_ref[0] + gram_cm(qT, kT)
+        s_ref[0, 0, 0:1, :] = s_ref[0, 0, 0:1, :] + _cm_sq_row(qT)
+        s_ref[0, 1, 0:1, :] = s_ref[0, 1, 0:1, :] + _cm_sq_row(kT)
+        for nn in range(n_frames):
+            fill(xsa[0, nn], xsm[0, nn], xsb[0, nn], False)
+            khT = chain_cm(w1_hk, wdT_hk).astype(cdt)
+            vh_ref[0, nn] = _cm_to_rows(chain_cm(w1_hv, wdT_hv)
+                                        ).astype(vh_ref.dtype)
+            gh_ref[0, nn] = gh_ref[0, nn] + gram_cm(qT, khT)
+            s_ref[0, 2 + nn, 0:1, :] = (s_ref[0, 2 + nn, 0:1, :]
+                                        + _cm_sq_row(khT))
+        return
 
     # FHR q/k/v over LN(x)
     fill(xa[0], xm[0], xb[0], True)
@@ -774,11 +891,20 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
                ln_b if ln_b is not None else zeros((c,)))
     assert w % 8 == 0
 
-    args = []
-    for p in qkv:
-        args += [p["w1"], p["wd"].reshape(9, e_dim).astype(jnp.float32)]
-    for p in kv:
-        args += [p["w1"], p["wd"].reshape(9, e_dim).astype(jnp.float32)]
+    chan_major = _chan_major_ok(e_dim, w, False)
+    if chan_major:
+        w1s, wdTs = [], []
+        for p in list(qkv) + list(kv):
+            wd9 = p["wd"].reshape(9, e_dim).astype(jnp.float32)
+            w1s.append(p["w1"])
+            wdTs += [wd9[k][:, None] for k in range(9)]
+        args = w1s + wdTs
+    else:
+        args = []
+        for p in qkv:
+            args += [p["w1"], p["wd"].reshape(9, e_dim).astype(jnp.float32)]
+        for p in kv:
+            args += [p["w1"], p["wd"].reshape(9, e_dim).astype(jnp.float32)]
 
     s_rows = _pick_strip_chm(h, w, c, e_dim, nf)
     assert s_rows, "no feasible strip size; use the XLA path"
@@ -788,7 +914,7 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     kernel = functools.partial(
         _chm_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-        e_dim=e_dim, n_frames=nf)
+        e_dim=e_dim, n_frames=nf, chan_major=chan_major)
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, c)
@@ -840,7 +966,8 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
         ),
         scratch_shapes=[
             pltpu.VMEM((n, c), jnp.float32),
-            pltpu.VMEM((n, e_dim), jnp.float32),
+            pltpu.VMEM((e_dim, n) if chan_major else (n, e_dim),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -1221,14 +1348,11 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         s_b = tb[6:].sum(0)          # di == +1
         return mats + [s_all, s_l, s_r, s_t, s_b, tb[0], tb[2], tb[6], tb[8]]
 
-    # channels-major gate layout: wins when the hidden width pads badly on
-    # the lane dim AND the ±w row taps stay 128-aligned lane slices.
-    # Measured 736x1280 e=160 (pad 1.6x): 8.12 -> 6.05 ms; 368x640 e=320
-    # (pad 1.2x): 1.88 -> 2.11 ms — the lane-roll/layout overhead eats a
-    # 1.2x saving, hence the >= 1.5x pad-ratio gate.
-    pad_e = 128 * ((e_dim + 127) // 128)
-    chan_major = (mode == "gate" and not has_b1
-                  and 2 * pad_e >= 3 * e_dim and w % 128 == 0)
+    # channels-major gate layout (_cm_chain). Measured 736x1280 e=160
+    # (pad 1.6x): 8.12 -> 6.05 ms; 368x640 e=320 (pad 1.2x): 1.88 -> 2.11
+    # ms — the lane-roll/layout overhead eats a 1.2x saving, hence the
+    # >= 1.5x pad-ratio gate in _chan_major_ok.
+    chan_major = mode == "gate" and _chan_major_ok(e_dim, w, has_b1)
 
     a0 = half_args(0)
     if chan_major:
