@@ -264,7 +264,20 @@ def _chan_major_ok(e_dim: int, w: int, has_b1: bool) -> bool:
     return (not has_b1) and w % 128 == 0 and 2 * pad_e >= 3 * e_dim
 
 
-def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim):
+def _dg_f32(a, b, dims, interpret: bool):
+    """dot_general with fp32 accumulation. Under interpret (CPU) the
+    operands are pre-cast to fp32: the CPU DotThunk has no BF16 support
+    for non-canonical dimension numbers, and the cast is numerically
+    equivalent (bf16 products are exact in fp32 either way)."""
+    if interpret:
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
+    return jax.lax.dot_general(a, b, dimension_numbers=(dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
+              interpret=False):
     """CHANNELS-MAJOR pw1 + dw3x3 chain: the hidden activations live
     transposed (e, rows) so a badly-lane-padding e (64 -> 128, 160 -> 256)
     rides SUBLANES (granularity 8, zero waste) through the VPU-bound tap
@@ -272,9 +285,7 @@ def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim):
     dimension numbers (no transpose op); ±1 column taps are fp32 LANE
     rolls, ±w row taps 128-multiple lane slices. wdTh: 9 (e, 1) fp32 tap
     refs. Returns the fp32 (e, sw) accumulator."""
-    h1t_ref[:] = jax.lax.dot_general(
-        w1h[:], xn_cdt, dimension_numbers=(((0,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    h1t_ref[:] = _dg_f32(w1h[:], xn_cdt, ((0,), (1,)), interpret)
     acc = jnp.zeros((e_dim, sw), jnp.float32)
     for dj in (-1, 0, 1):
         if dj == -1:
@@ -315,9 +326,10 @@ def _cm_sq_row(aT):
                                preferred_element_type=jnp.float32)
 
 
-def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows,
-                       w_img, e_dim, residual, has_pair, has_po):
-    """CHANNELS-MAJOR gate strip program (bias-free GFFW only).
+def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
+                       w_img, e_dim, residual, has_pair, has_po,
+                       interpret=False):
+    """CHANNELS-MAJOR gate/linear strip program (bias-free only).
 
     Same chain as _dw_kernel's gate mode, but the hidden activations live
     TRANSPOSED as (e, rows): the VPU pads the minor (lane) dim to 128, so
@@ -345,9 +357,13 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows,
     if has_pair:
         xa2, xm2, xb2 = take(3)
         wpo, bpo = take(2) if has_po else (None, None)
-    w1_a, w1_b = take(2)
-    wdT_a = take(9)
-    wdT_b = take(9)
+    if mode == "gate":
+        w1_a, w1_b = take(2)
+        wdT_a = take(9)
+        wdT_b = take(9)
+    else:  # linear
+        w1_a = take(1)[0]
+        wdT_a = take(9)
     w2, b2, scale = take(3)
     out_ref, xn_ref, h1t_ref = rest[idx:]
 
@@ -387,13 +403,16 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows,
 
     def dw_half_cm(w1h, wdTh):
         return _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l,
-                         w=w, sw=sw, n=n, e_dim=e_dim)
+                         w=w, sw=sw, n=n, e_dim=e_dim, interpret=interpret)
+
+    if mode == "linear":
+        out_ref[0] = _cm_to_rows(dw_half_cm(w1_a, wdT_a)
+                                 ).astype(out_ref.dtype)
+        return
 
     hdb = dw_half_cm(w1_b, wdT_b)
     act = _gelu_exact(dw_half_cm(w1_a, wdT_a)) * hdb
-    out = jax.lax.dot_general(
-        act.astype(cdt), w2[:], dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    out = _dg_f32(act.astype(cdt), w2[:], ((0,), (0,)), interpret)
     out = (out + b2[:].astype(jnp.float32)) * scale[:].astype(jnp.float32)
     if residual:
         out = out + x_mid.astype(jnp.float32)
@@ -401,12 +420,15 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows,
 
 
 def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
-                     w_img, e_dim, has_b1):
+                     w_img, e_dim, has_b1, chan_major=False,
+                     interpret=False):
     """Multi-output strip program: ONE LN pass over the strip, then N
     independent pw1 + depthwise-3x3 projection chains, each written to its
     own output (e.g. the q/k/v thirds of an attention projection, with the
     pw/dw weights pre-split host-side so no in-kernel lane slicing is
-    needed). Same halo/mask machinery as _dw_kernel."""
+    needed). Same halo/mask machinery as _dw_kernel; chan_major runs the
+    chains transposed (_cm_chain) with an exact identity-matmul transpose
+    back before each write."""
     idx = 0
 
     def take(k):
@@ -417,6 +439,10 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
 
     projs = []
     for _ in range(n_out):
+        if chan_major:
+            w1 = take(1)[0]
+            projs.append((w1, take(9), None))
+            continue
         w1, wd9 = take(2)
         sv = take(9) if has_b1 else None
         projs.append((w1, wd9, sv))
@@ -428,8 +454,6 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
-    cml_x, cmr_x = _col_wrap_masks(n, w)
-
     xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
     xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
     xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
@@ -441,6 +465,16 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
     cdt = xm.dtype
     xn_cdt = xn_ref[:].astype(cdt)
 
+    if chan_major:
+        cml_l, cmr_l = _col_wrap_masks_lane(n, w)
+        for (w1h, wdTh, _), out_ref in zip(projs, out_refs):
+            acc = _cm_chain(xn_cdt, w1h, wdTh, h1_ref, cml_l, cmr_l,
+                            w=w, sw=sw, n=n, e_dim=e_dim,
+                            interpret=interpret)
+            out_ref[0] = _cm_to_rows(acc).astype(out_ref.dtype)
+        return
+
+    cml_x, cmr_x = _col_wrap_masks(n, w)
     for (w1h, wd9h, sv), out_ref in zip(projs, out_refs):
         h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
         acc = jnp.zeros((sw, e_dim), jnp.float32)
@@ -469,7 +503,7 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
 
 
 def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
-                      e_dim, has_b1, chan_major=False):
+                      e_dim, has_b1, chan_major=False, interpret=False):
     """Channel-attention front: the q/k/v projection chains of one block,
     but q and k NEVER leave VMEM — the kernel writes only the v map plus
     the fp32 statistics channel attention actually needs (turtle_arch.py
@@ -526,13 +560,12 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
         # and only the v map pays the exact identity-matmul transpose
         cml_l, cmr_l = _col_wrap_masks_lane(n, w)
         ch = lambda p: _cm_chain(xn_cdt, p[0], p[1], h1_ref,  # noqa: E731
-                                 cml_l, cmr_l, w=w, sw=sw, n=n, e_dim=e_dim)
+                                 cml_l, cmr_l, w=w, sw=sw, n=n, e_dim=e_dim,
+                                 interpret=interpret)
         qT = ch(projs[0]).astype(cdt)
         kT = ch(projs[1]).astype(cdt)
         v_ref[0] = _cm_to_rows(ch(projs[2])).astype(v_ref.dtype)
-        g = jax.lax.dot_general(qT, kT,
-                                dimension_numbers=(((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+        g = _dg_f32(qT, kT, ((1,), (1,)), interpret)
 
         @pl.when(i == 0)
         def _zero_cm():
@@ -578,8 +611,7 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
     k = chain(*projs[1]).astype(cdt)
     v_ref[0] = chain(*projs[2]).astype(v_ref.dtype)
 
-    g = jax.lax.dot_general(q, k, dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    g = _dg_f32(q, k, ((0,), (0,)), interpret)
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     nq = jnp.sum(qf * qf, axis=0, keepdims=True)  # (1, e)
@@ -667,7 +699,8 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     kernel = functools.partial(
         _qkv_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-        e_dim=e_dim, has_b1=has_b1, chan_major=chan_major)
+        e_dim=e_dim, has_b1=has_b1, chan_major=chan_major,
+        interpret=interpret)
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, c)
@@ -712,7 +745,8 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
 
 
 def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
-                      s_rows, w_img, e_dim, n_frames, chan_major=False):
+                      s_rows, w_img, e_dim, n_frames, chan_major=False,
+                      interpret=False):
     """CausalHistoryModel front (turtle_arch.py:535-585), one pass: the
     FHR q/k/v chains over LN(x) AND the kv embedding chains over every
     aligned frame x_sp[n] (NO LayerNorm — kv_dwconv(kv(x_sp)), ref :572-578)
@@ -758,7 +792,8 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
 
         def chain_cm(w1h, wdTh):
             return _cm_chain(xn_ref[:].astype(cdt), w1h, wdTh, h1_ref,
-                             cml_l, cmr_l, w=w, sw=sw, n=n, e_dim=e_dim)
+                             cml_l, cmr_l, w=w, sw=sw, n=n, e_dim=e_dim,
+                             interpret=interpret)
     else:
         cml_x, cmr_x = _col_wrap_masks(n, w)
 
@@ -792,9 +827,7 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
 
     def gram(a, b):
-        return jax.lax.dot_general(
-            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        return _dg_f32(a, b, ((0,), (0,)), interpret)
 
     def sq(a):
         af = a.astype(jnp.float32)
@@ -810,9 +843,7 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         # q^T/k^T/kh^T stay (e, rows); grams/norms contract over lanes,
         # only the v/vh maps pay the exact identity-matmul transpose
         def gram_cm(a, bb):
-            return jax.lax.dot_general(
-                a, bb, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            return _dg_f32(a, bb, ((1,), (1,)), interpret)
 
         fill(xa[0], xm[0], xb[0], True)
         qT = chain_cm(w1_q, wdT_q).astype(cdt)
@@ -914,7 +945,8 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     kernel = functools.partial(
         _chm_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-        e_dim=e_dim, n_frames=nf, chan_major=chan_major)
+        e_dim=e_dim, n_frames=nf, chan_major=chan_major,
+        interpret=interpret)
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, c)
@@ -1203,10 +1235,14 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
 
     has_b1 = any(p.get("b1") is not None or p.get("bd") is not None
                  for p in projs)
+    chan_major = _chan_major_ok(e_dim, w, has_b1)
 
     args = []
     for p in projs:
         wd9 = p["wd"].reshape(9, e_dim).astype(jnp.float32)
+        if chan_major:
+            args += [p["w1"], *[wd9[k][:, None] for k in range(9)]]
+            continue
         args += [p["w1"], wd9]
         if has_b1:
             b1f = (p.get("b1") if p.get("b1") is not None
@@ -1229,7 +1265,8 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
     grid = (b, h // s_rows)
     kernel = functools.partial(
         _multi_dw_kernel, n_out=n_out, ln_mode=ln_mode, s_rows=s_rows,
-        w_img=w, e_dim=e_dim, has_b1=has_b1)
+        w_img=w, e_dim=e_dim, has_b1=has_b1, chan_major=chan_major,
+        interpret=interpret)
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, c)
@@ -1254,7 +1291,8 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
                         for _ in range(n_out)),
         scratch_shapes=[
             pltpu.VMEM((n, c), jnp.float32),
-            pltpu.VMEM((n, e_dim), jnp.float32),
+            pltpu.VMEM((e_dim, n) if chan_major else (n, e_dim),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
@@ -1348,17 +1386,20 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         s_b = tb[6:].sum(0)          # di == +1
         return mats + [s_all, s_l, s_r, s_t, s_b, tb[0], tb[2], tb[6], tb[8]]
 
-    # channels-major gate layout (_cm_chain). Measured 736x1280 e=160
+    # channels-major layout (_cm_chain). Measured 736x1280 e=160 gate
     # (pad 1.6x): 8.12 -> 6.05 ms; 368x640 e=320 (pad 1.2x): 1.88 -> 2.11
     # ms — the lane-roll/layout overhead eats a 1.2x saving, hence the
     # >= 1.5x pad-ratio gate in _chan_major_ok.
-    chan_major = mode == "gate" and _chan_major_ok(e_dim, w, has_b1)
+    chan_major = (mode in ("gate", "linear")
+                  and _chan_major_ok(e_dim, w, has_b1))
 
     a0 = half_args(0)
-    if chan_major:
-        wdT = lambda lo: [wd9[k, lo:lo + e_dim][:, None]  # noqa: E731
-                          for k in range(9)]
+    wdT = lambda lo: [wd9[k, lo:lo + e_dim][:, None]  # noqa: E731
+                      for k in range(9)]
+    if chan_major and mode == "gate":
         args = [a0[0], w1[:, e_dim:2 * e_dim]] + wdT(0) + wdT(e_dim)
+    elif chan_major:
+        args = [a0[0]] + wdT(0)
     elif mode == "gate":
         a1 = half_args(e_dim)
         args = a0[:2] + a1[:2] + a0[2:] + a1[2:]
@@ -1377,9 +1418,10 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     grid = (b, h // s_rows)
     if chan_major:
         kernel = functools.partial(
-            _dw_gate_cm_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-            e_dim=e_dim, residual=residual,
-            has_pair=x2 is not None, has_po=po_w is not None)
+            _dw_gate_cm_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows,
+            w_img=w, e_dim=e_dim, residual=residual,
+            has_pair=x2 is not None, has_po=po_w is not None,
+            interpret=interpret)
     else:
         kernel = functools.partial(
             _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,

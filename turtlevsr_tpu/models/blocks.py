@@ -378,8 +378,12 @@ def channel_attention_stats_apply(params, x, heads: int, ln, spec):
     attn = masked_softmax(scores * temp, None).astype(x.dtype)
 
     wpo = params["project_out"]["weight"].reshape(c, c)
-    po_w = jnp.einsum("bhcd,hce->bhde", attn,
-                      wpo.reshape(heads, ctok, c).astype(attn.dtype),
+    # fp32 operands: numerically identical (bf16 products are exact in
+    # fp32, accumulation is fp32 either way), the product is tiny, and the
+    # CPU backend's DotThunk has no bf16 support for this batched form
+    # (tests/app run the model on CPU)
+    po_w = jnp.einsum("bhcd,hce->bhde", attn.astype(ad),
+                      wpo.reshape(heads, ctok, c).astype(ad),
                       preferred_element_type=ad)
     po_w = po_w.reshape(b, c, c).astype(x.dtype)
     return v_map, po_w, params["project_out"].get("bias")
