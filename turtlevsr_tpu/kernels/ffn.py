@@ -1076,9 +1076,12 @@ def fused_ln_qkv_dw(x, *, ln_w=None, ln_b=None, w1, b1=None, wd, bd=None,
                            interpret=interpret)
 
 
-def _conv3_kernel(xa, xm, xb, w9, bias, out_ref, xn_ref,
-                  acc_ref, *, s_rows, w_img, cout):
-    """Dense 3x3 conv as 9 shifted MXU matmuls over one row strip.
+def _conv3_kernel(xa, xm, xb, w9, bias, ln_w, ln_b, out_ref, xn_ref,
+                  acc_ref, *, s_rows, w_img, cout, ln_mode):
+    """Dense 3x3 conv as 9 shifted MXU matmuls over one row strip,
+    optionally preceded by channel LN (the composite v+project_out chain
+    of SAB folds into this shape: po o dw3x3 o pw1x1 == one dense conv
+    with K[t] = w1 diag(wd[t]) w_po, bias-free).
 
     Same halo scheme as _dw_kernel: the strip's rows plus one clamped image
     row above/below, flattened (rows, Cin); column shifts are fp32 rolls
@@ -1093,9 +1096,9 @@ def _conv3_kernel(xa, xm, xb, w9, bias, out_ref, xn_ref,
     n = sw + 2 * w
     cml_x, cmr_x = _col_wrap_masks(n, w)
 
-    xn_ref[0:w, :] = xa[0].astype(jnp.float32)
-    xn_ref[w:w + sw, :] = xm[0].astype(jnp.float32)
-    xn_ref[w + sw:n, :] = xb[0].astype(jnp.float32)
+    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
+    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
+    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
     xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
@@ -1141,14 +1144,21 @@ def _pick_strip_conv3(h: int, w: int, cin: int, cout: int) -> int:
     return best
 
 
-def fused_conv3x3(x, weight, bias=None, *, interpret: bool = False):
-    """3x3 stride-1 pad-1 dense conv on NHWC ``x``; weight (3, 3, Cin,
-    Cout). The glue convs of the U-Net (input/ending/Down/Up bodies)."""
+def fused_conv3x3(x, weight, bias=None, *, ln_w=None, ln_b=None,
+                  interpret: bool = False):
+    """3x3 stride-1 pad-1 dense conv on NHWC ``x``, optionally preceded by
+    channel LN; weight (3, 3, Cin, Cout). The glue convs of the U-Net
+    (input/ending/Down/Up bodies) and the composite SAB v+project_out
+    chain."""
     b, h, w, cin = x.shape
     cout = weight.shape[-1]
     dt = x.dtype
     w9 = weight.reshape(9, cin, cout).astype(dt)
     bias_a = (bias if bias is not None else jnp.zeros((cout,), dt))
+    ln_mode = ("none" if ln_w is None
+               else ("bias_free" if ln_b is None else "with_bias"))
+    ln_args = (ln_w if ln_w is not None else jnp.zeros((cin,), dt),
+               ln_b if ln_b is not None else jnp.zeros((cin,), dt))
 
     s_rows = _pick_strip_conv3(h, w, cin, cout)
     assert s_rows, "no feasible strip size; use the XLA conv"
@@ -1160,7 +1170,8 @@ def fused_conv3x3(x, weight, bias=None, *, interpret: bool = False):
     s_ = s_rows
     xf = x.reshape(b, h * w, cin)
     out = pl.pallas_call(
-        functools.partial(_conv3_kernel, s_rows=s_rows, w_img=w, cout=cout),
+        functools.partial(_conv3_kernel, s_rows=s_rows, w_img=w, cout=cout,
+                          ln_mode=ln_mode),
         grid=(b, h // s_rows),
         in_specs=[
             pl.BlockSpec((1, w, cin),
@@ -1172,7 +1183,7 @@ def fused_conv3x3(x, weight, bias=None, *, interpret: bool = False):
                          lambda b_, i: (b_, jnp.minimum(i * s_ + s_, last_row),
                                         0),
                          memory_space=pltpu.VMEM),
-        ] + [vmem()] * 2,
+        ] + [vmem()] * 4,
         out_specs=pl.BlockSpec((1, sw, cout), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, cout), dt),
@@ -1182,7 +1193,7 @@ def fused_conv3x3(x, weight, bias=None, *, interpret: bool = False):
             vmem_limit_bytes=_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(xf, xf, xf, w9, bias_a)
+    )(xf, xf, xf, w9, bias_a, *ln_args)
     return out.reshape(b, h, w, cout)
 
 

@@ -294,7 +294,10 @@ def call_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
 
 def _conv3_xla(x, p):
     from turtlevsr_tpu.ops.conv import conv2d
+    from turtlevsr_tpu.ops.norm import layer_norm
 
+    if "ln_w" in p:
+        x = layer_norm(x, p["ln_w"], p.get("ln_b"))
     return conv2d(x, p["weight"], p.get("bias"), padding=1)
 
 
@@ -302,7 +305,9 @@ def _conv3_xla(x, p):
 def conv3_op(x, p, interpret=False):
     from turtlevsr_tpu.kernels.ffn import fused_conv3x3
 
-    return fused_conv3x3(x, p["weight"], p.get("bias"), interpret=interpret)
+    return fused_conv3x3(x, p["weight"], p.get("bias"),
+                         ln_w=p.get("ln_w"), ln_b=p.get("ln_b"),
+                         interpret=interpret)
 
 
 def _conv3_fwd(x, p, interpret):

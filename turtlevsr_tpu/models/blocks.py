@@ -500,18 +500,47 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     Returns (aligned frames (B, NF, h, w, c), frame_valid (NF,), new_slot).
     """
     b, h, w, c = x.shape
-    if pre is not None:  # projections already computed (merged CHM call)
-        q_, k_, v_map = pre
-    else:
-        q_, k_, v_map = _multi_proj_dw(
-            params, [("qk", "qk_dwconv", 2), ("v", "v_dwconv", 1)], x, ln,
-            spec)
     # project_out is a bias-free 1x1 in the shipped configs, so it commutes
     # with the attention's weighted sum over window tokens: applying it to
     # the ONE current v map (and caching projected tokens) replaces NF
     # per-frame output projections in _sab_finish.
     pre_project = "bias" not in params["project_out"]
-    if pre_project:
+    # ... and being bias-free end to end, the whole v chain composes into
+    # ONE dense 3x3 conv: po o dw3x3 o pw1x1 = conv3x3 with
+    # K[t] = w_v diag(wd_v[t]) w_po — one kernel pass over x, the
+    # unprojected v map and the separate po matmul never exist.
+    v_po = False
+    if (pre is None and pre_project and spec is not None
+            and spec.kernels == "pallas"
+            and "bias" not in params["v"]
+            and "bias" not in params["v_dwconv"]):
+        from turtlevsr_tpu.kernels.ffn import conv3x3_pallas_supported
+
+        v_po = conv3x3_pallas_supported(h, w, c, c)
+    if pre is not None:  # projections already computed (merged CHM call)
+        q_, k_, v_map = pre
+    elif v_po:
+        from turtlevsr_tpu.kernels.vjp import conv3_op
+
+        q_, k_ = _multi_proj_dw(params, [("qk", "qk_dwconv", 2)], x, ln,
+                                spec)
+        ad = acc_dtype(x.dtype)
+        K = jnp.einsum(
+            "im,tsm,mo->tsio",
+            params["v"]["weight"][0, 0].astype(ad),
+            params["v_dwconv"]["weight"][:, :, 0].astype(ad),
+            params["project_out"]["weight"][0, 0].astype(ad)).astype(x.dtype)
+        p3 = {"weight": K}
+        if ln is not None:
+            p3["ln_w"] = ln[0]
+            if ln[1] is not None:
+                p3["ln_b"] = ln[1]
+        v_map = conv3_op(x, p3, _pallas_interpret())
+    else:
+        q_, k_, v_map = _multi_proj_dw(
+            params, [("qk", "qk_dwconv", 2), ("v", "v_dwconv", 1)], x, ln,
+            spec)
+    if pre_project and not v_po:
         v_map = _conv(params["project_out"], v_map)
 
     # window-strided depthwise projections: kernel=stride=ws, padding=1
