@@ -48,9 +48,78 @@ class LmdbBackend:
 
 
 class MemcachedBackend:
-    def __init__(self, server_list_cfg, client_cfg, sys_path=None):
-        raise NotImplementedError(
-            "memcached backend requires pymemcache/mc, not installed")
+    """Memcached storage backend (file_client.py:28-63) as a pure-socket
+    text-protocol client — no ``mc``/``pymemcache`` dependency.
+
+    ``server_list_cfg`` follows the reference's shape (a config file
+    listing servers) but also accepts a ``host:port`` string or a list of
+    them directly; ``client_cfg``/``sys_path`` are accepted for API
+    compatibility and ignored (they configured the C client). Keys are the
+    file paths, as in the reference. get() round-robins over the servers
+    on connection failure."""
+
+    def __init__(self, server_list_cfg, client_cfg=None, sys_path=None):
+        if isinstance(server_list_cfg, (list, tuple)):
+            servers = list(server_list_cfg)
+        elif isinstance(server_list_cfg, str) and ":" in server_list_cfg \
+                and "/" not in server_list_cfg:
+            servers = [server_list_cfg]
+        else:
+            with open(server_list_cfg) as f:
+                servers = [ln.strip() for ln in f
+                           if ln.strip() and not ln.startswith("#")]
+        if not servers:
+            raise ValueError("memcached: empty server list")
+        self._servers = []
+        for s in servers:
+            host, _, port = s.rpartition(":")
+            self._servers.append((host or "127.0.0.1", int(port)))
+        self._socks = [None] * len(self._servers)
+
+    def _sock(self, i):
+        import socket
+
+        if self._socks[i] is None:
+            s = socket.create_connection(self._servers[i], timeout=10)
+            self._socks[i] = s
+        return self._socks[i]
+
+    def _readline(self, f):
+        line = f.readline()
+        if not line:
+            raise ConnectionError("memcached: connection closed")
+        return line
+
+    def get(self, filepath):
+        key = str(filepath)
+        if " " in key or "\r" in key or "\n" in key:
+            raise ValueError(f"invalid memcached key: {key!r}")
+        last_err = None
+        for i in range(len(self._servers)):
+            try:
+                s = self._sock(i)
+                s.sendall(b"get " + key.encode() + b"\r\n")
+                f = s.makefile("rb")
+                line = self._readline(f)
+                if line == b"END\r\n":
+                    return None  # miss, like a failed mc Get
+                if not line.startswith(b"VALUE "):
+                    raise ConnectionError(
+                        f"memcached: unexpected reply {line!r}")
+                nbytes = int(line.split()[3])
+                data = f.read(nbytes)
+                f.read(2)  # trailing \r\n
+                end = self._readline(f)
+                assert end == b"END\r\n", end
+                return data
+            except (OSError, ConnectionError) as e:
+                last_err = e
+                self._socks[i] = None
+        raise ConnectionError(
+            f"memcached: all servers failed ({last_err})")
+
+    def get_text(self, filepath):
+        raise NotImplementedError  # matches the reference (:62-63)
 
 
 class FileClient:
