@@ -160,11 +160,17 @@ def main():
                         "recipe (batch_size_per_gpu, n_sequence, "
                         "patch_size) instead of inference; prints a "
                         "train_step_ms JSON line")
+    p.add_argument("--traffic_json", default=None,
+                   help="write the XLA cost-analysis numbers (FLOPs + HBM "
+                        "bytes per frame) to this JSON file")
     p.add_argument("--numerics", action="store_true",
                    help="write NUMERICS.json: per-frame PSNR of the shipped "
                         "bf16+pallas pipeline vs the fp32 XLA path at "
                         "--size (use 720 1280 for the deployment artifact)")
     args = p.parse_args()
+
+    import json
+    import os
 
     import jax
     import jax.numpy as jnp
@@ -198,6 +204,17 @@ def main():
         print(f"FLOPs/frame (XLA): {ca.get('flops', 0) / 1e9:.2f} G "
               f"(~{ca.get('flops', 0) / 2e9:.2f} GMac)")
         print(f"HBM bytes/frame:   {ca.get('bytes accessed', 0) / 1e9:.2f} GB")
+        if args.traffic_json:
+            with open(args.traffic_json, "w") as f:
+                json.dump({
+                    "metric": "xla_cost_analysis_per_frame",
+                    "opt": os.path.basename(args.opt),
+                    "size": list(args.size),
+                    "kernels": args.kernels,
+                    "dtype": args.dtype,
+                    "flops_g": round(ca.get("flops", 0) / 1e9, 2),
+                    "hbm_gb": round(ca.get("bytes accessed", 0) / 1e9, 2),
+                }, f, indent=1)
     except Exception as e:  # cost analysis is best-effort
         print(f"(cost analysis unavailable: {e})")
 
