@@ -49,8 +49,12 @@ _LN_EPS = 1e-5
 # optimum: an 80MB budget gives S=8 strips (~9% faster in isolation) but
 # OOMs scoped vmem in the full bf16 720p graph (113MB > the 109MB cap).
 # Retried 64MB after the r3 channel-block fusion slimmed the graph: still
-# errors at compile — 48MB stands.
-_VMEM_BUDGET = 48 * 1024 * 1024
+# errors at compile — 48MB stands. Env-tunable for strip-size experiments
+# (the channels-major scratch is ~40% smaller in real VMEM than the
+# accounting assumes, so larger budgets may fit now).
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get("TURTLE_KERNEL_VMEM_MB", "48")) * 1024 * 1024
 # tried 60MB for the gate kernel alone (S=8 strips, ~9% in isolation): with
 # the residual-pair inputs the real usage hits 112MB and OOMs scoped vmem —
 # 48MB stands as the measured optimum
