@@ -4,6 +4,7 @@ XLA path, in float32."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -13,8 +14,9 @@ from turtlevsr_tpu.models.turtle import forward, init_cache, init_params
 from reference_oracle import tiny_opt
 
 
-def test_pallas_model_matches_xla():
-    opt = tiny_opt("Turtle_t1_arch")
+@pytest.mark.parametrize("arch", ["Turtle_t1_arch", "Turtle_arch"])
+def test_pallas_model_matches_xla(arch):
+    opt = tiny_opt(arch)
     cfg_x = model_config_from_options(opt)
     cfg_p = dataclasses.replace(cfg_x, kernels="pallas")
     params = init_params(jax.random.PRNGKey(0), cfg_x, dtype=jnp.float32)

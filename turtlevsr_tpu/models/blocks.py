@@ -648,10 +648,30 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     pos = posenc2d(c, h, w, x.dtype)[None]
     qk = _conv(params["qk_dwconv"], _conv(params["qk"], x + pos), padding=1)
     _, k_ = jnp.split(qk, 2, axis=-1)
-    v_map = _proj_dw(params, ("v", "v_dwconv"), x, None, spec)
     # out = v here (quirk Q1), so project_out applies per frame to the raw
     # windowed v -- pre-projecting the one current map is exact (bias incl.)
-    v_map = _conv(params["project_out"], v_map)
+    v_po = False
+    if (spec is not None and spec.kernels == "pallas"
+            and all("bias" not in params[n]
+                    for n in ("v", "v_dwconv", "project_out"))):
+        from turtlevsr_tpu.kernels.ffn import conv3x3_pallas_supported
+
+        v_po = conv3x3_pallas_supported(h, w, c, c)
+    if v_po:
+        # bias-free: the whole v chain composes into ONE dense 3x3 conv
+        # (same fold as sab_t1_apply; x is already LayerNormed here)
+        from turtlevsr_tpu.kernels.vjp import conv3_op
+
+        ad = acc_dtype(x.dtype)
+        K = jnp.einsum(
+            "im,tsm,mo->tsio",
+            params["v"]["weight"][0, 0].astype(ad),
+            params["v_dwconv"]["weight"][:, :, 0].astype(ad),
+            params["project_out"]["weight"][0, 0].astype(ad)).astype(x.dtype)
+        v_map = conv3_op(x, {"weight": K}, _pallas_interpret())
+    else:
+        v_map = _proj_dw(params, ("v", "v_dwconv"), x, None, spec)
+        v_map = _conv(params["project_out"], v_map)
 
     k = l2_normalize(_lattice_split(k_, ws, spec=spec), axis=-1)
     v = _lattice_split(v_map, ws, spec=spec)
