@@ -140,10 +140,15 @@ def test_train_cli_runs_and_resumes(workdir):
                cwd=str(workdir))
     assert "Start training from iter 0" in out
     assert "l_pix" in out
-    # auto-resume picks up the final checkpoint
-    out2 = _run(["turtlevsr_tpu.cli.train", "-opt", yml, "--max_iters", "6"],
-                cwd=str(workdir))
+    # auto-resume picks up the final checkpoint; --trace_dir writes a
+    # jax.profiler trace of the steady-state iters
+    trace = str(workdir / "trace")
+    out2 = _run(["turtlevsr_tpu.cli.train", "-opt", yml, "--max_iters", "6",
+                 "--trace_dir", trace], cwd=str(workdir))
     assert "Resuming training from iter 4" in out2
+    assert "Profiler trace written" in out2
+    assert any(f for _, _, fs in os.walk(trace) for f in fs), \
+        "trace dir is empty"
 
 
 def test_infer_cli_with_gt(workdir):

@@ -38,6 +38,13 @@ def parse_args():
                         help="export the newest checkpoint's params as a "
                         "reference-format {'params': state_dict} .pth and "
                         "exit (inverse of pretrain .pth loading)")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="write a jax.profiler trace of training iters "
+                        "%(metavar)s (view in TensorBoard/Perfetto); traces "
+                        "--trace_iters steps after the first post-compile "
+                        "one", metavar="DIR")
+    parser.add_argument("--trace_iters", type=int, default=5,
+                        help="how many iters the --trace_dir trace spans")
     return parser.parse_args()
 
 
@@ -274,6 +281,14 @@ def main():
     t_start = time.time()
     logger.info(f"Start training from iter {current_iter}")
 
+    # --trace_dir: jax.profiler trace of a few steady-state iters
+    # (SURVEY §5 tracing; starts after the compile iter so the trace shows
+    # execution, not compilation)
+    trace_start = (min(start_iter + 2, max(total_iters - 1, start_iter))
+                   if args.trace_dir else -1)
+    trace_stop = trace_start + max(1, args.trace_iters)
+    tracing = False
+
     while current_iter < total_iters:
         sampler.set_epoch(epoch)
         for batch_np in loader:
@@ -283,9 +298,20 @@ def main():
             lq, gt = shard_batch(mesh, (batch_np["lq"], batch_np["gt"]))
             data_time = time.time() - t_data
 
+            if current_iter == trace_start and not tracing:
+                jax.block_until_ready(state.params)
+                jax.profiler.start_trace(args.trace_dir)
+                tracing = True
+
             t_it = time.time()
             state, logs = step_fn(state, lq, gt)
             current_iter += 1
+
+            if tracing and current_iter >= trace_stop:
+                jax.block_until_ready(logs["l_pix"])
+                jax.profiler.stop_trace()
+                tracing = False
+                logger.info(f"Profiler trace written to {args.trace_dir}")
 
             if current_iter % print_freq == 0:
                 loss = float(logs["l_pix"])  # device sync
@@ -310,6 +336,11 @@ def main():
                     for k, v in metrics.items():
                         tb.add_scalar(f"metrics/{k}", v, current_iter)
         epoch += 1
+
+    if tracing:
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        logger.info(f"Profiler trace written to {args.trace_dir}")
 
     if process_is_primary():
         logger.info("End of training. Saving the latest model.")
