@@ -5,9 +5,12 @@ bench covers one task in one mode; this covers the rest).
   * deblur 720p, reference tiled protocol (tile 320 / overlap 192,
     inference.py:609) — the mode the reference actually evaluates GoPro in;
   * SR x4 to 720p, reference tile 256 / overlap 64 (inference.py:531-532);
-  * deblur 720p multi-stream batch=2 throughput (frames/s aggregate).
+  * deblur 720p multi-stream batch=2 throughput (frames/s aggregate);
+  * deblur 1080p whole-frame streaming (scaling evidence);
+  * desnow 720p whole-frame streaming (the t0 family, quirk Q1).
 
-Usage: python tools/bench_suite.py [--iters 12]
+Usage: python tools/bench_suite.py [--iters 12] [--max_tile_batch N]
+       [--skip substr,substr]   (partial runs merge into the artifact)
 All timings sync with a device->host fetch (axon tunnel).
 """
 
@@ -24,11 +27,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 import numpy as np
 
 
-def bench_engine(cfg, params, frames, mode, tile, overlap, dtype, iters):
+def bench_engine(cfg, params, frames, mode, tile, overlap, dtype, iters,
+                 max_tile_batch=12):
     from turtlevsr_tpu.eval.engine import InferenceEngine
 
     eng = InferenceEngine(cfg, params, mode=mode, tile=tile,
-                          tile_overlap=overlap, dtype=dtype)
+                          tile_overlap=overlap, dtype=dtype,
+                          max_tile_batch=max_tile_batch)
     for fr in frames[:2]:  # build + warm
         eng.step(fr)
     t0 = time.perf_counter()
@@ -64,7 +69,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--kernels", default="pallas")
+    ap.add_argument("--max_tile_batch", type=int, default=12,
+                    help="tile chunk size for the tiled protocols")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated metric substrings to skip")
     args = ap.parse_args()
+
+    def skipped(name):
+        return any(s and s in name for s in args.skip.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -86,36 +98,79 @@ def main():
                               kernels=args.kernels)
     params = jax.tree.map(lambda p: p.astype(dtype),
                           init_params(jax.random.PRNGKey(0), cfg))
-    fps = bench_engine(cfg, params, frames720, "tiled", 320, 192, dtype,
-                       args.iters)
-    results.append({"metric": "gopro_720p_deblur_tiled320_fps_1chip",
-                    "value": round(fps, 3), "unit": "frames/s",
-                    "protocol": "tile 320 / overlap 192 (inference.py:609)"})
-    print(json.dumps(results[-1]), flush=True)
+    if not skipped("tiled320"):
+        fps = bench_engine(cfg, params, frames720, "tiled", 320, 192, dtype,
+                           args.iters, max_tile_batch=args.max_tile_batch)
+        results.append({"metric": "gopro_720p_deblur_tiled320_fps_1chip",
+                        "value": round(fps, 3), "unit": "frames/s",
+                        "protocol": "tile 320 / overlap 192 "
+                                    "(inference.py:609)",
+                        "max_tile_batch": args.max_tile_batch})
+        print(json.dumps(results[-1]), flush=True)
 
-    fps = bench_batch2(cfg, params, 720, 1280, dtype, args.iters)
-    results.append({"metric": "gopro_720p_deblur_batch2_fps_1chip",
-                    "value": round(fps, 3), "unit": "frames/s (2 streams)"})
-    print(json.dumps(results[-1]), flush=True)
+    if not skipped("batch2"):
+        fps = bench_batch2(cfg, params, 720, 1280, dtype, args.iters)
+        results.append({"metric": "gopro_720p_deblur_batch2_fps_1chip",
+                        "value": round(fps, 3),
+                        "unit": "frames/s (2 streams)"})
+        print(json.dumps(results[-1]), flush=True)
+
+    if not skipped("1080p"):
+        # scaling evidence: whole-frame 1080p streaming on one chip
+        frames1080 = [rng.rand(1080, 1920, 3).astype(np.float32)
+                      for _ in range(2)]
+        fps = bench_engine(cfg, params, frames1080, "whole", 0, 0, dtype,
+                           max(4, args.iters // 2))
+        results.append({"metric": "gopro_1080p_deblur_fps_1chip",
+                        "value": round(fps, 3), "unit": "frames/s",
+                        "protocol": "whole-frame streaming"})
+        print(json.dumps(results[-1]), flush=True)
     del params
 
-    # SR x4 -> 720p, reference tile 256 / overlap 64
-    opt = load_options(os.path.join(root, "options", "Turtle_SR_MVSR.yml"),
-                      is_train=False)
-    cfg = dataclasses.replace(model_config_from_options(opt),
-                              kernels=args.kernels)
-    params = jax.tree.map(lambda p: p.astype(dtype),
-                          init_params(jax.random.PRNGKey(0), cfg))
-    frames_lq = [rng.rand(180, 320, 3).astype(np.float32) for _ in range(3)]
-    fps = bench_engine(cfg, params, frames_lq, "tiled", 256, 64, dtype,
-                       args.iters)
-    results.append({"metric": "sr_x4_720p_tiled256_fps_1chip",
-                    "value": round(fps, 3), "unit": "frames/s",
-                    "protocol": "tile 256 / overlap 64 "
-                                "(inference.py:531-532)"})
-    print(json.dumps(results[-1]), flush=True)
+    if not skipped("desnow"):
+        # t0 family (quirk Q1 — SAB skips attention): 720p whole-frame
+        opt = load_options(os.path.join(root, "options", "Turtle_Desnow.yml"),
+                           is_train=False)
+        cfg = dataclasses.replace(model_config_from_options(opt),
+                                  kernels=args.kernels)
+        params = jax.tree.map(lambda p: p.astype(dtype),
+                              init_params(jax.random.PRNGKey(0), cfg))
+        fps = bench_engine(cfg, params, frames720, "whole", 0, 0, dtype,
+                           args.iters)
+        results.append({"metric": "rsvd_720p_desnow_fps_1chip",
+                        "value": round(fps, 3), "unit": "frames/s",
+                        "protocol": "whole-frame streaming (t0)"})
+        print(json.dumps(results[-1]), flush=True)
+        del params
 
-    with open(os.path.join(root, "BENCH_SUITE.json"), "w") as f:
+    if not skipped("sr_x4"):
+        # SR x4 -> 720p, reference tile 256 / overlap 64
+        opt = load_options(os.path.join(root, "options", "Turtle_SR_MVSR.yml"),
+                           is_train=False)
+        cfg = dataclasses.replace(model_config_from_options(opt),
+                                  kernels=args.kernels)
+        params = jax.tree.map(lambda p: p.astype(dtype),
+                              init_params(jax.random.PRNGKey(0), cfg))
+        frames_lq = [rng.rand(180, 320, 3).astype(np.float32)
+                     for _ in range(3)]
+        fps = bench_engine(cfg, params, frames_lq, "tiled", 256, 64, dtype,
+                           args.iters, max_tile_batch=args.max_tile_batch)
+        results.append({"metric": "sr_x4_720p_tiled256_fps_1chip",
+                        "value": round(fps, 3), "unit": "frames/s",
+                        "protocol": "tile 256 / overlap 64 "
+                                    "(inference.py:531-532)"})
+        print(json.dumps(results[-1]), flush=True)
+
+    out_path = os.path.join(root, "BENCH_SUITE.json")
+    if args.skip:  # partial run: merge into the existing artifact
+        try:
+            with open(out_path) as f:
+                old = {r["metric"]: r for r in json.load(f)}
+        except Exception:
+            old = {}
+        old.update({r["metric"]: r for r in results})
+        results = list(old.values())
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
 
 
