@@ -121,3 +121,66 @@ def test_training_reduces_loss():
     # steadily under repeated steps on the same batch
     assert losses[-1] < losses[0] - 5e-3, losses
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
+
+
+def test_bptt_grad_parity_vs_reference():
+    """jax.grad through the cache-carrying scan == torch autograd through
+    the executed reference's python frame loop, in float64.
+
+    The reference does NOT detach the KV caches between frames
+    (video_restoration_model.py:84-96), so its training is full BPTT
+    through the causal history — exactly what grad-of-scan gives us. Its
+    loss is sum of per-frame L1 / frame_num (:94-98), i.e. the mean our
+    clip_loss_fn takes; the `0 * sum(p.sum())` DDP term (:99) adds exactly
+    zero to every gradient.
+    """
+    import torch
+
+    from reference_oracle import build_reference_model
+    from turtlevsr_tpu.io.torch_convert import (
+        params_from_torch_state_dict, torch_state_dict_from_params)
+    from test_model_parity import _KeepF64
+
+    opt = tiny_opt("Turtle_t1_arch")
+    ref = build_reference_model(opt)  # float64
+    cfg = model_config_from_options(opt)
+    params = params_from_torch_state_dict(ref.state_dict(),
+                                          dtype=jnp.float64)
+
+    t_frames, b, h, w = 3, 1, 64, 64
+    rng = np.random.RandomState(11)
+    lq = rng.rand(b, t_frames, 3, h, w)
+    gt = rng.rand(b, t_frames, 3, h, w)
+
+    # --- torch: the reference's optimize_parameters loop, fp64 ---
+    lq_t, gt_t = torch.from_numpy(lq), torch.from_numpy(gt)
+    k_cache = v_cache = None
+    total = 0.0
+    with _KeepF64():
+        for j in range(t_frames):
+            cur = lq_t[:, j].unsqueeze(1)
+            prev = lq_t[:, j if j == 0 else j - 1].unsqueeze(1)
+            x = torch.concat([prev, cur], dim=1)
+            out, k_cache, v_cache = ref(x, k_cache, v_cache)
+            total = total + (out - gt_t[:, j]).abs().mean()
+    (total / t_frames).backward()
+    want = {n: p.grad.numpy() for n, p in ref.named_parameters()
+            if p.grad is not None}
+    assert len(want) == sum(1 for _ in ref.named_parameters())
+
+    # --- ours: grad through the scan-BPTT clip loss at fp64 ---
+    def loss64(p, t):  # l1_loss casts to fp32; keep the oracle run fp64
+        return jnp.mean(jnp.abs(p - t))
+
+    lq_j = jnp.asarray(lq.transpose(0, 1, 3, 4, 2))
+    gt_j = jnp.asarray(gt.transpose(0, 1, 3, 4, 2))
+    grads = jax.grad(clip_loss_fn)(params, cfg, lq_j, gt_j,
+                                   compute_dtype=jnp.float64, remat=False,
+                                   loss_fn=loss64)
+    got = torch_state_dict_from_params(jax.device_get(grads))
+
+    missing = set(want) - set(got)
+    assert not missing, f"grads missing for {sorted(missing)[:5]}"
+    for name, g_ref in want.items():
+        np.testing.assert_allclose(got[name], g_ref, atol=5e-9, rtol=1e-6,
+                                   err_msg=f"grad mismatch: {name}")
