@@ -123,7 +123,7 @@ def test_training_reduces_loss():
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
 
 
-def test_bptt_grad_parity_vs_reference():
+def _bptt_grad_parity(model_name):
     """jax.grad through the cache-carrying scan == torch autograd through
     the executed reference's python frame loop, in float64.
 
@@ -132,7 +132,8 @@ def test_bptt_grad_parity_vs_reference():
     through the causal history — exactly what grad-of-scan gives us. Its
     loss is sum of per-frame L1 / frame_num (:94-98), i.e. the mean our
     clip_loss_fn takes; the `0 * sum(p.sum())` DDP term (:99) adds exactly
-    zero to every gradient.
+    zero to every gradient. For Turtle_arch (t0), quirk Q1 makes the SAB
+    q chain dead: both sides must agree on exactly-zero grads there.
     """
     import torch
 
@@ -141,7 +142,7 @@ def test_bptt_grad_parity_vs_reference():
         params_from_torch_state_dict, torch_state_dict_from_params)
     from test_model_parity import _KeepF64
 
-    opt = tiny_opt("Turtle_t1_arch")
+    opt = tiny_opt(model_name)
     ref = build_reference_model(opt)  # float64
     cfg = model_config_from_options(opt)
     params = params_from_torch_state_dict(ref.state_dict(),
@@ -164,9 +165,11 @@ def test_bptt_grad_parity_vs_reference():
             out, k_cache, v_cache = ref(x, k_cache, v_cache)
             total = total + (out - gt_t[:, j]).abs().mean()
     (total / t_frames).backward()
-    want = {n: p.grad.numpy() for n, p in ref.named_parameters()
-            if p.grad is not None}
-    assert len(want) == sum(1 for _ in ref.named_parameters())
+    # params the loss never touches (t0's dead q chain) keep grad=None in
+    # torch; the reference's 0*sum(p.sum()) term makes them exactly zero
+    want = {n: (p.grad.numpy() if p.grad is not None
+                else np.zeros(p.shape, np.float64))
+            for n, p in ref.named_parameters()}
 
     # --- ours: grad through the scan-BPTT clip loss at fp64 ---
     def loss64(p, t):  # l1_loss casts to fp32; keep the oracle run fp64
@@ -184,3 +187,11 @@ def test_bptt_grad_parity_vs_reference():
     for name, g_ref in want.items():
         np.testing.assert_allclose(got[name], g_ref, atol=5e-9, rtol=1e-6,
                                    err_msg=f"grad mismatch: {name}")
+
+
+def test_bptt_grad_parity_t1():
+    _bptt_grad_parity("Turtle_t1_arch")
+
+
+def test_bptt_grad_parity_t0():
+    _bptt_grad_parity("Turtle_arch")
