@@ -195,3 +195,49 @@ def test_bptt_grad_parity_t1():
 
 def test_bptt_grad_parity_t0():
     _bptt_grad_parity("Turtle_arch")
+
+
+def test_adamw_update_parity_vs_torch():
+    """optax.adamw (as built by make_optimizer) must produce the same
+    parameter trajectory as torch.optim.AdamW — the reference's hardwired
+    optimizer (video_restoration_model.py:67-69) — including nonzero
+    weight decay and bias correction, over several steps at fp64."""
+    import torch
+
+    topt = {"optim_g": {"lr": 3e-3, "weight_decay": 0.01,
+                        "betas": [0.9, 0.99]},
+            "scheduler": {"type": "TrueCosineAnnealingLR", "T_max": 50,
+                          "eta_min": 1e-7},
+            "total_iter": 50, "warmup_iter": -1}
+    sched = build_schedule(topt)
+    tx = make_optimizer(topt, sched)
+
+    rng = np.random.RandomState(5)
+    shapes = [(4, 7), (3,), (2, 3, 3)]
+    init = [rng.randn(*s) for s in shapes]
+    grads_seq = [[rng.randn(*s) for s in shapes] for _ in range(5)]
+
+    # torch trajectory
+    tparams = [torch.tensor(a, dtype=torch.float64, requires_grad=True)
+               for a in init]
+    topt_t = torch.optim.AdamW(tparams, lr=3e-3, betas=(0.9, 0.99),
+                               eps=1e-8, weight_decay=0.01)
+    tsched = torch.optim.lr_scheduler.CosineAnnealingLR(
+        topt_t, T_max=50, eta_min=1e-7)
+    for g in grads_seq:
+        for p, gv in zip(tparams, g):
+            p.grad = torch.tensor(gv, dtype=torch.float64)
+        topt_t.step()
+        tsched.step()
+
+    # ours
+    params = [jnp.asarray(a, jnp.float64) for a in init]
+    state = tx.init(params)
+    for g in grads_seq:
+        updates, state = tx.update([jnp.asarray(x, jnp.float64) for x in g],
+                                   state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+    for got, want in zip(params, tparams):
+        np.testing.assert_allclose(np.asarray(got),
+                                   want.detach().numpy(), atol=1e-12)
