@@ -241,3 +241,24 @@ def test_adamw_update_parity_vs_torch():
     for got, want in zip(params, tparams):
         np.testing.assert_allclose(np.asarray(got),
                                    want.detach().numpy(), atol=1e-12)
+
+
+def test_sr_train_step_runs_and_updates():
+    """The TurtleSuper (x4 SR) variant trains: LQ-sized cache, 4x output
+    against the HR ground truth, finite loss, params move."""
+    cfg = model_config_from_options(tiny_opt("TurtleSuper_t1_arch"))
+    assert cfg.variant == "sr" and cfg.sr_scale == 4
+    tx = make_optimizer(TRAIN_OPT, build_schedule(TRAIN_OPT))
+    params = init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    step = make_train_step(cfg, tx, compute_dtype=jnp.float32, remat=True,
+                           donate=False)
+    state = TrainState.create(params, tx)
+    rng = np.random.RandomState(0)
+    lq = jnp.asarray(rng.rand(1, 2, 16, 16, 3), jnp.float32)
+    gt = jnp.asarray(rng.rand(1, 2, 64, 64, 3), jnp.float32)
+    state2, logs = step(state, lq, gt)
+    assert np.isfinite(float(logs["l_pix"]))
+    moved = jax.tree.map(lambda a, b: float(np.max(np.abs(np.asarray(a)
+                                                          - np.asarray(b)))),
+                         state.params, state2.params)
+    assert max(jax.tree.leaves(moved)) > 0
