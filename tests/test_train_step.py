@@ -123,7 +123,7 @@ def test_training_reduces_loss():
     assert all(b < a for a, b in zip(losses, losses[1:])), losses
 
 
-def _bptt_grad_parity(model_name):
+def _bptt_grad_parity(model_name, scale=1, t_frames=3):
     """jax.grad through the cache-carrying scan == torch autograd through
     the executed reference's python frame loop, in float64.
 
@@ -148,10 +148,10 @@ def _bptt_grad_parity(model_name):
     params = params_from_torch_state_dict(ref.state_dict(),
                                           dtype=jnp.float64)
 
-    t_frames, b, h, w = 3, 1, 64, 64
+    b, h, w = 1, 64, 64
     rng = np.random.RandomState(11)
     lq = rng.rand(b, t_frames, 3, h, w)
-    gt = rng.rand(b, t_frames, 3, h, w)
+    gt = rng.rand(b, t_frames, 3, h * scale, w * scale)
 
     # --- torch: the reference's optimize_parameters loop, fp64 ---
     lq_t, gt_t = torch.from_numpy(lq), torch.from_numpy(gt)
@@ -262,3 +262,8 @@ def test_sr_train_step_runs_and_updates():
                                                           - np.asarray(b)))),
                          state.params, state2.params)
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_bptt_grad_parity_sr():
+    # 2 frames (not 3): the fp64 4x-output backward costs ~6 min at 3
+    _bptt_grad_parity("TurtleSuper_t1_arch", scale=4, t_frames=2)
