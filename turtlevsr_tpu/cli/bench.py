@@ -163,6 +163,9 @@ def main():
     p.add_argument("--traffic_json", default=None,
                    help="write the XLA cost-analysis numbers (FLOPs + HBM "
                         "bytes per frame) to this JSON file")
+    p.add_argument("--trace_dir", default=None,
+                   help="write a jax.profiler trace of the timed inference "
+                        "iters (view in TensorBoard/Perfetto)")
     p.add_argument("--numerics", action="store_true",
                    help="write NUMERICS.json: per-frame PSNR of the shipped "
                         "bf16+pallas pipeline vs the fp32 XLA path at "
@@ -224,6 +227,8 @@ def main():
         out, c = step(params, x, c)
     np.asarray(out[0, 0, 0, :])
 
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
     t0 = time.perf_counter()
     for i in range(args.iters):
         out, c = step(params, x, c)
@@ -235,6 +240,9 @@ def main():
                   f"times per image: {1000 / fps:.1f} ms / img", flush=True)
     np.asarray(out[0, 0, 0, :])
     dt = time.perf_counter() - t0
+    if args.trace_dir:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.trace_dir}")
     fps = args.iters / dt
     print(f"Overall fps: {fps:.1f} img / s, "
           f"times per image: {1000 / fps:.1f} ms / img")
