@@ -247,6 +247,8 @@ def create_ui(ckpt_dir: str, options_dir: str):
 
 
 def main():
+    from turtlevsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--options-dir", default="options")

@@ -144,6 +144,8 @@ def bench_numerics(args, opt, cfg, dtype):
 
 
 def main():
+    from turtlevsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("-opt", "--opt", required=True)
     p.add_argument("--size", type=int, nargs=2, default=[256, 256])

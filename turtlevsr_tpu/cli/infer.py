@@ -172,6 +172,8 @@ def parse_args():
 
 
 def main():
+    from turtlevsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = parse_args()
 
     import jax

@@ -122,6 +122,8 @@ def build_validation(cfg, val_opt, opt):
 
 
 def main():
+    from turtlevsr_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = parse_args()
 
     import jax
