@@ -263,9 +263,17 @@ def _chan_major_ok(e_dim: int, w: int, has_b1: bool) -> bool:
     """The channels-major hidden layout wins when the hidden width pads
     badly on the lane dim (>= 1.5x, i.e. e in {64, 160, ...}) and the ±w
     row taps stay 128-aligned lane slices. Bias-free chains only (the
-    shipped configs)."""
+    shipped configs). TURTLE_CHAN_MAJOR=0 forces the token-major layout
+    everywhere (A/B measurement knob); =1 forces channels-major wherever
+    it is legal (bias-free, w % 128)."""
+    legal = (not has_b1) and w % 128 == 0
+    force = _os.environ.get("TURTLE_CHAN_MAJOR")
+    if force == "0":
+        return False
+    if force == "1":
+        return legal
     pad_e = 128 * ((e_dim + 127) // 128)
-    return (not has_b1) and w % 128 == 0 and 2 * pad_e >= 3 * e_dim
+    return legal and 2 * pad_e >= 3 * e_dim
 
 
 def _dg_f32(a, b, dims, interpret: bool):
