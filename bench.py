@@ -14,12 +14,31 @@ then steady-state timing) at the BASELINE.json resolution.
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _watchdog(seconds: float):
+    """Hard exit if the bench wedges (the axon tunnel hangs device
+    acquisition indefinitely when it is down, and SIGALRM can't interrupt
+    a blocked C++ backend-init call — a daemon thread + os._exit can)."""
+    def fire():
+        sys.stderr.write(
+            f"bench.py: no result after {seconds:.0f}s — TPU tunnel "
+            "down or compile wedged; aborting instead of hanging.\n")
+        sys.stderr.flush()
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    dog = _watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
     import jax
 
     # persistent compilation cache: repeated driver runs skip the ~5 min
@@ -85,6 +104,7 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
     }))
+    dog.cancel()
 
 
 if __name__ == "__main__":
