@@ -99,3 +99,47 @@ def test_cm_matches_pixels_major_bf16():
     np.testing.assert_allclose(np.asarray(got_cm, np.float32),
                                np.asarray(got_pm, np.float32),
                                rtol=0, atol=1e-2)
+
+
+def test_bf16_grads_cpu():
+    """jax.grad through the differentiable wrappers at bf16 on CPU — the
+    backward XLA references are fp32-pre-cast per the CLAUDE.md bf16-dot
+    convention; this is the only bf16 grad coverage (the parity tests run
+    fp32/fp64)."""
+    from turtlevsr_tpu.kernels.vjp import (call_fused_ffn, call_qkv_stats,
+                                           sab_attn_probs_op)
+
+    x = _arr(1, H, W, C)
+
+    def loss_ffn(x_):
+        e = 160
+        out = call_fused_ffn(
+            x_, mode="gate", residual=True, ln_w=_arr(C), w1=_arr(C, 2 * e),
+            wd=_arr(3, 3, 2 * e), w2=_arr(e, C),
+            x2=_arr(1, H, W, C), po_w=_arr(1, C, C), po_b=_arr(C),
+            interpret=True)
+        return jnp.sum(out.astype(jnp.float32))
+
+    g = jax.grad(loss_ffn)(x)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    def loss_stats(x_):
+        projs = [dict(w1=_arr(C, C), wd=_arr(3, 3, C)) for _ in range(3)]
+        v, gm, s = call_qkv_stats(x_, projs, ln_w=_arr(C), interpret=True)
+        return (jnp.sum(v.astype(jnp.float32)) + jnp.sum(gm) + jnp.sum(s))
+
+    g = jax.grad(loss_stats)(x)
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+
+    hw = H * W // 8
+    q = _arr(1, hw, 2 * C)
+    kt = _arr(1, 1, 2 * C, hw)
+    lm = jnp.asarray(RNG.rand(hw, hw) > 0.5, jnp.bfloat16)
+
+    def loss_sab(q_):
+        a = sab_attn_probs_op(q_, kt, lm, jnp.asarray(1.0, jnp.float32),
+                              True)
+        return jnp.sum(a.astype(jnp.float32))
+
+    g = jax.grad(loss_sab)(q)
+    assert np.isfinite(np.asarray(g, np.float32)).all()

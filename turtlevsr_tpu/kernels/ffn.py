@@ -37,7 +37,6 @@ from __future__ import annotations
 
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -1068,12 +1067,24 @@ def _pick_strip(h: int, w: int, c: int, e: int,
     return best
 
 
+def _pw_rows_fit(rows: int, c: int, ch: int) -> bool:
+    """Feasibility of the no-dw (_pw_kernel) row-block halving loop."""
+    s = rows
+    while s * (c * 10 + ch * 16) > _VMEM_BUDGET and s % 2 == 0:
+        s //= 2
+    return s * (c * 10 + ch * 16) <= _VMEM_BUDGET
+
+
 def ffn_pallas_supported(h: int, w: int, c: int, e_dim: int,
                          has_dw: bool, has_pair: bool = False) -> bool:
     """e_dim = per-gate-half hidden width (CH//2 for gate, CH otherwise)."""
     if w % 8 or e_dim % 2:
         return False
     if has_dw and _pick_strip(h, w, c, e_dim, has_pair=has_pair) == 0:
+        return False
+    if not has_dw and not _pw_rows_fit(h * w, c, e_dim):
+        # a large odd row factor can leave the halving loop over budget —
+        # promise only what the kernel can actually compile
         return False
     return True
 
@@ -1359,12 +1370,21 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
 
     if not halo:
         assert x2 is None, "pair-input fusion is dw-path only"
+        # the gate branch lane-slices the hidden at offset e_dim in-kernel;
+        # non-128-multiple lane offsets HANG the Mosaic compiler (module
+        # docstring) — refuse loudly instead (no product config hits this:
+        # GFFW always has a dwconv)
+        assert mode != "gate" or e_dim % 128 == 0, (
+            "gate without dwconv needs 128-aligned halves "
+            f"(e_dim={e_dim}); use the XLA path")
         rows = h * w
         s = rows
         # per-row live bytes: x + LN copy + fp32 hidden + ~3 gelu
         # transients + fp32 out accumulator
         while s * (c * 10 + ch * 16) > _VMEM_BUDGET and s % 2 == 0:
             s //= 2
+        assert s * (c * 10 + ch * 16) <= _VMEM_BUDGET, (
+            "no feasible row block for the no-dw kernel; use the XLA path")
         grid = (b, rows // s)
         out = pl.pallas_call(
             functools.partial(_pw_kernel, mode=mode, ln_mode=ln_mode,

@@ -156,8 +156,9 @@ def _av_pair_kernel(a_ref, v_ref, e0, e1, oe_ref, oo_ref):
 
 
 def _av_rows(hw: int) -> int:
-    """Largest divisor of hw keeping the double-buffered (R, hw) a-block
-    within ~16MB."""
+    """Largest divisor of hw keeping the a-block within ~32MB (the 4x
+    covers double-buffering of the two blocked operands; elements counted
+    at 2 bytes — a arrives in the model dtype, bf16 on the bench path)."""
     best = 8
     for r in range(8, hw + 1):
         if hw % r == 0 and 4 * r * hw * 2 <= 32 * 1024 * 1024:
@@ -168,7 +169,11 @@ def _av_rows(hw: int) -> int:
 def sab_av_slots_supported(hw: int, d: int, c_slot: int) -> bool:
     if hw % 8 or d % c_slot:
         return False
-    return c_slot == 64 or c_slot % 128 == 0
+    if c_slot == 64:
+        # the pair kernel walks D in 128-lane (slot-pair) blocks: an odd
+        # slot count (odd ws with c=64) would silently drop the last slot
+        return d % 128 == 0
+    return c_slot % 128 == 0
 
 
 def sab_attn_v_slots(a, v, c_slot: int, interpret: bool = False):

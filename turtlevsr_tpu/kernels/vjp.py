@@ -41,9 +41,13 @@ def _ffn_xla(x, p, mode, residual, ln_mode):
             c = x2.shape[-1]
             pw = p["po_w"]
             if pw.ndim == 3:  # per-batch po' (fused channel attention)
-                x2 = jnp.einsum("bhwc,bce->bhwe", x2,
-                                pw.astype(x2.dtype),
-                                preferred_element_type=x2.dtype)
+                # fp32 operands: batched bf16 dot_generals crash the CPU
+                # DotThunk (see CLAUDE.md); bf16 products are exact in
+                # fp32, so the result (cast back) is bitwise identical
+                x2 = jnp.einsum("bhwc,bce->bhwe", x2.astype(jnp.float32),
+                                pw.astype(jnp.float32),
+                                preferred_element_type=jnp.float32
+                                ).astype(x2.dtype)
             else:
                 x2 = jnp.dot(x2.reshape(-1, c), pw.astype(x2.dtype),
                              preferred_element_type=x2.dtype
@@ -175,8 +179,10 @@ def _qkv_stats_xla(x, p, ln_mode):
     reductions (what channel attention consumes — turtle_arch.py:589-625)."""
     q, k, v = _split_proj_xla(x, p, ln_mode)
     b, _, _, e = q.shape
-    qf = q.reshape(b, -1, e)
-    kf = k.reshape(b, -1, e)
+    # fp32 operands: non-canonical bf16 dot_generals crash the CPU
+    # DotThunk (CLAUDE.md); bf16 products are exact in fp32 — identical
+    qf = q.reshape(b, -1, e).astype(jnp.float32)
+    kf = k.reshape(b, -1, e).astype(jnp.float32)
     g = jnp.einsum("blc,bld->bcd", qf, kf,
                    preferred_element_type=jnp.float32)
     nq = jnp.einsum("blc,blc->bc", qf, qf,
@@ -234,9 +240,10 @@ def _chm_stats_xla(x, x_sp, p, ln_mode):
     c = x.shape[-1]
     xs = x_sp.reshape((b * nf,) + x_sp.shape[2:])
     kh, vh = _split_proj_xla(xs, {"projs": p["kv"]}, "none")
-    qf = q.reshape(b, -1, c)
-    kf = k.reshape(b, -1, c)
-    khf = kh.reshape(b, nf, -1, c)
+    # fp32 operands for the CPU DotThunk (see _qkv_stats_xla)
+    qf = q.reshape(b, -1, c).astype(jnp.float32)
+    kf = k.reshape(b, -1, c).astype(jnp.float32)
+    khf = kh.reshape(b, nf, -1, c).astype(jnp.float32)
     g = jnp.einsum("blc,bld->bcd", qf, kf,
                    preferred_element_type=jnp.float32)
     gh = jnp.einsum("blc,bnld->bncd", qf, khf,
@@ -333,7 +340,9 @@ def sab_attn_probs_op(q, kt, local_mask, temp, interpret=False):
 def _sab_attn_probs_xla(q, kt, local_mask, temp):
     from turtlevsr_tpu.ops.attn_utils import clipped_softmax, topk_keep
 
-    scores = jnp.einsum("bqd,bndk->bnqk", q, kt,
+    # fp32 operands for the CPU DotThunk (see _qkv_stats_xla)
+    scores = jnp.einsum("bqd,bndk->bnqk", q.astype(jnp.float32),
+                        kt.astype(jnp.float32),
                         preferred_element_type=jnp.float32)
     scores = (scores * temp).astype(q.dtype)
     return clipped_softmax(topk_keep(scores, 5)
@@ -357,7 +366,9 @@ sab_attn_probs_op.defvjp(_sab_attn_probs_fwd, _sab_attn_probs_bwd)
 def _av_merge_xla(a, v, ws, h, w):
     from turtlevsr_tpu.models.blocks import _lattice_merge
 
-    out_tok = jnp.einsum("bqk,bkd->bqd", a, v,
+    # fp32 operands for the CPU DotThunk (see _qkv_stats_xla)
+    out_tok = jnp.einsum("bqk,bkd->bqd", a.astype(jnp.float32),
+                         v.astype(jnp.float32),
                          preferred_element_type=jnp.float32).astype(a.dtype)
     return _lattice_merge(out_tok, ws, h, w)
 
