@@ -201,34 +201,10 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     xn_cdt = xn_ref[:].astype(cdt)
 
     def dw_half(w1h, wd9h, sv):
-        # pw1 ONCE on the MXU, bias excluded so the zeroed halos stay zero
-        h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
-        acc = jnp.zeros((sw, e_dim), jnp.float32)
-        for dj in (-1, 0, 1):
-            # one rolled+wrap-masked base per column shift, then 3 pure
-            # multiply-add taps against per-tap dw weights (VPU)
-            if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
-            elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
-            else:
-                base = h1_ref[:]
-            for di in (-1, 0, 1):
-                lo = w + di * w
-                k = (di + 1) * 3 + (dj + 1)
-                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
-        if sv is not None:
-            ml, mr, mt, mb = _border_masks(sw, w)
-            s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
-                v[:].astype(jnp.float32) for v in sv]
-            bias_map = (s_all - ml * s_l - mr * s_r
-                        - f0 * mt * s_t - fl * mb * s_b
-                        + f0 * (mt * ml) * s_tl
-                        + f0 * (mt * mr) * s_tr
-                        + fl * (mb * ml) * s_bl
-                        + fl * (mb * mr) * s_br)
-            acc = acc + bias_map
-        return acc
+        # pw1 ONCE on the MXU (bias excluded so the zeroed halos stay
+        # zero), 9 multiply-add taps on the VPU — shared _tm_chain
+        return _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x,
+                         w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl)
 
     if mode == "linear":
         # projection-only: out = dw3x3(pw1(LN(x))) — the qkv/kv/v front of
@@ -309,6 +285,73 @@ def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
             lo = w + di * w
             k = (di + 1) * 3 + (dj + 1)
             acc = acc + base[:, lo:lo + sw] * wdTh[k][:]
+    return acc
+
+
+def _tm_bias_map(sv, sw, w, f0, fl):
+    """pw1/dw bias boundary reconstruction (token-major): the reference
+    zero-pads AFTER pw1 (turtle_arch.py:170-172), so the halo taps carry no
+    bias — subtract the per-edge tap-bias sums by inclusion-exclusion.
+    sv: 9 (e,) refs s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/s_br."""
+    ml, mr, mt, mb = _border_masks(sw, w)
+    s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
+        v[:].astype(jnp.float32) for v in sv]
+    return (s_all - ml * s_l - mr * s_r
+            - f0 * mt * s_t - fl * mb * s_b
+            + f0 * (mt * ml) * s_tl
+            + f0 * (mt * mr) * s_tr
+            + fl * (mb * ml) * s_bl
+            + fl * (mb * mr) * s_br)
+
+
+def _tap_bias_vecs(wd9, b1f, bdf):
+    """Host-side packing of the 9 inclusion-exclusion bias vectors
+    _tm_bias_map consumes: s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/s_br,
+    with tb[k] = the pw1 bias's contribution through dw tap k."""
+    tb = wd9 * b1f[None, :]
+    return [tb.sum(0) + bdf,
+            tb[0] + tb[3] + tb[6], tb[2] + tb[5] + tb[8],
+            tb[:3].sum(0), tb[6:].sum(0),
+            tb[0], tb[2], tb[6], tb[8]]
+
+
+def _proj_tap_args(p, wd9, e_dim, has_b1, zeros):
+    """Token-major per-projection kernel args: [w1, wd9] + the 9 bias
+    vectors when any pw1/dw bias exists."""
+    args = [p["w1"], wd9]
+    if has_b1:
+        b1f = (p.get("b1") if p.get("b1") is not None
+               else zeros((e_dim,))).astype(jnp.float32)
+        bdf = (p.get("bd") if p.get("bd") is not None
+               else zeros((e_dim,))).astype(jnp.float32)
+        args += _tap_bias_vecs(wd9, b1f, bdf)
+    return args
+
+
+def _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x, *, w, sw, n, e_dim,
+              sv=None, f0=None, fl=None):
+    """TOKEN-MAJOR pw1 + dw3x3 tap chain (the pixels-major twin of
+    _cm_chain, shared by every fused kernel): ONE pw1 MXU matmul into the
+    (n, e) fp32 hidden scratch, then the depthwise 3x3 as 9 multiply-add
+    taps — ±w row taps are aligned slice reads, ±1 column taps fp32
+    sublane rolls masked at the row wrap. wd9h: (9, e) fp32 tap-weight
+    ref. Returns the fp32 (sw, e) accumulator (bias boundary corrections
+    included when sv is given)."""
+    h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
+    acc = jnp.zeros((sw, e_dim), jnp.float32)
+    for dj in (-1, 0, 1):
+        if dj == -1:
+            base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
+        elif dj == 1:
+            base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
+        else:
+            base = h1_ref[:]
+        for di in (-1, 0, 1):
+            lo = w + di * w
+            k = (di + 1) * 3 + (dj + 1)
+            acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
+    if sv is not None:
+        acc = acc + _tm_bias_map(sv, sw, w, f0, fl)
     return acc
 
 
@@ -487,29 +530,8 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
 
     cml_x, cmr_x = _col_wrap_masks(n, w)
     for (w1h, wd9h, sv), out_ref in zip(projs, out_refs):
-        h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
-        acc = jnp.zeros((sw, e_dim), jnp.float32)
-        for dj in (-1, 0, 1):
-            if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
-            elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
-            else:
-                base = h1_ref[:]
-            for di in (-1, 0, 1):
-                lo = w + di * w
-                k = (di + 1) * 3 + (dj + 1)
-                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
-        if sv is not None:
-            ml, mr, mt, mb = _border_masks(sw, w)
-            s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
-                v[:].astype(jnp.float32) for v in sv]
-            acc = acc + (s_all - ml * s_l - mr * s_r
-                         - f0 * mt * s_t - fl * mb * s_b
-                         + f0 * (mt * ml) * s_tl
-                         + f0 * (mt * mr) * s_tr
-                         + fl * (mb * ml) * s_bl
-                         + fl * (mb * mr) * s_br)
+        acc = _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x,
+                        w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl)
         out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -591,30 +613,8 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
     cml_x, cmr_x = _col_wrap_masks(n, w)
 
     def chain(w1h, wd9h, sv):
-        h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
-        acc = jnp.zeros((sw, e_dim), jnp.float32)
-        for dj in (-1, 0, 1):
-            if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
-            elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
-            else:
-                base = h1_ref[:]
-            for di in (-1, 0, 1):
-                lo = w + di * w
-                k = (di + 1) * 3 + (dj + 1)
-                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
-        if sv is not None:
-            ml, mr, mt, mb = _border_masks(sw, w)
-            s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
-                v[:].astype(jnp.float32) for v in sv]
-            acc = acc + (s_all - ml * s_l - mr * s_r
-                         - f0 * mt * s_t - fl * mb * s_b
-                         + f0 * (mt * ml) * s_tl
-                         + f0 * (mt * mr) * s_tr
-                         + fl * (mb * ml) * s_bl
-                         + fl * (mb * mr) * s_br)
-        return acc
+        return _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x,
+                         w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl)
 
     # cast to the model dtype first: the gram must see exactly the values
     # the written q/k maps would have held (pallas == xla parity)
@@ -689,17 +689,7 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
         if chan_major:
             args += [p["w1"], *[wd9[k][:, None] for k in range(9)]]
             continue
-        args += [p["w1"], wd9]
-        if has_b1:
-            b1f = (p.get("b1") if p.get("b1") is not None
-                   else zeros((e_dim,))).astype(jnp.float32)
-            bdf = (p.get("bd") if p.get("bd") is not None
-                   else zeros((e_dim,))).astype(jnp.float32)
-            tb = wd9 * b1f[None, :]
-            args += [tb.sum(0) + bdf,
-                     tb[0] + tb[3] + tb[6], tb[2] + tb[5] + tb[8],
-                     tb[:3].sum(0), tb[6:].sum(0),
-                     tb[0], tb[2], tb[6], tb[8]]
+        args += _proj_tap_args(p, wd9, e_dim, has_b1, zeros)
 
     s_rows = _pick_strip_stats(h, w, c, e_dim)
     assert s_rows, "no feasible strip size; use the XLA path"
@@ -809,21 +799,9 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         cml_x, cmr_x = _col_wrap_masks(n, w)
 
     def chain(w1h, wd9h):
-        h1_ref[:] = jnp.dot(xn_ref[:].astype(cdt), w1h[:],
-                            preferred_element_type=jnp.float32)
-        acc = jnp.zeros((sw, e_dim), jnp.float32)
-        for dj in (-1, 0, 1):
-            if dj == -1:
-                base = pltpu.roll(h1_ref[:], shift=1, axis=0) * cml_x
-            elif dj == 1:
-                base = pltpu.roll(h1_ref[:], shift=n - 1, axis=0) * cmr_x
-            else:
-                base = h1_ref[:]
-            for di in (-1, 0, 1):
-                lo = w + di * w
-                k = (di + 1) * 3 + (dj + 1)
-                acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
-        return acc
+        # xn_ref is re-filled per frame, so it is re-read per call
+        return _tm_chain(xn_ref[:].astype(cdt), w1h, wd9h, h1_ref,
+                         cml_x, cmr_x, w=w, sw=sw, n=n, e_dim=e_dim)
 
     def fill(top, mid, bot, ln):
         if ln:
@@ -1277,17 +1255,7 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
         if chan_major:
             args += [p["w1"], *[wd9[k][:, None] for k in range(9)]]
             continue
-        args += [p["w1"], wd9]
-        if has_b1:
-            b1f = (p.get("b1") if p.get("b1") is not None
-                   else zeros((e_dim,))).astype(jnp.float32)
-            bdf = (p.get("bd") if p.get("bd") is not None
-                   else zeros((e_dim,))).astype(jnp.float32)
-            tb = wd9 * b1f[None, :]
-            args += [tb.sum(0) + bdf,
-                     tb[0] + tb[3] + tb[6], tb[2] + tb[5] + tb[8],
-                     tb[:3].sum(0), tb[6:].sum(0),
-                     tb[0], tb[2], tb[6], tb[8]]
+        args += _proj_tap_args(p, wd9, e_dim, has_b1, zeros)
 
     s_rows = _pick_strip_multi(h, w, c, e_dim, n_out)
     assert s_rows, "no feasible strip size; use the XLA path"
@@ -1421,13 +1389,7 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         mats = [w1h, wdh]
         if not has_b1:
             return mats
-        tb = wdh * b1h[None, :]  # (9, e) per-tap bias contributions
-        s_all = tb.sum(0) + bdh
-        s_l = tb[0] + tb[3] + tb[6]  # dj == -1 taps
-        s_r = tb[2] + tb[5] + tb[8]  # dj == +1
-        s_t = tb[:3].sum(0)          # di == -1
-        s_b = tb[6:].sum(0)          # di == +1
-        return mats + [s_all, s_l, s_r, s_t, s_b, tb[0], tb[2], tb[6], tb[8]]
+        return mats + _tap_bias_vecs(wdh, b1h, bdh)
 
     # channels-major layout (_cm_chain). Measured 736x1280 e=160 gate
     # (pad 1.6x): 8.12 -> 6.05 ms; 368x640 e=320 (pad 1.2x): 1.88 -> 2.11

@@ -28,11 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 72 * 1024 * 1024
 
 
-def _kernel(s_ref, m_ref, out_ref, *, k_top: int):
-    s = s_ref[0].astype(jnp.float32)  # (R, K)
-    m = m_ref[0].astype(jnp.float32)
+def _sparse_softmax_rows(s, m, k_top: int):
+    """The shared fp32 row body: top-k keep (running max, first-occurrence
+    tie-break, exactly ops/attn_utils.topk_keep) + local mask combine +
+    zero-ignoring clipped softmax (turtle_arch.py:115-135). s, m: (R, K)
+    fp32."""
     r, k = s.shape
-
     idx = jax.lax.broadcasted_iota(jnp.int32, (r, k), 1)
     neg_inf = jnp.float32(-jnp.inf)
     remaining = s
@@ -53,8 +54,13 @@ def _kernel(s_ref, m_ref, out_ref, *, k_top: int):
     mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
     e = jnp.exp(masked - mx)
     denom = jnp.sum(e, axis=-1, keepdims=True)
-    out = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
-    out_ref[0] = out.astype(out_ref.dtype)
+    return e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
+
+
+def _kernel(s_ref, m_ref, out_ref, *, k_top: int):
+    s = s_ref[0].astype(jnp.float32)  # (R, K)
+    m = m_ref[0].astype(jnp.float32)
+    out_ref[0] = _sparse_softmax_rows(s, m, k_top).astype(out_ref.dtype)
 
 
 def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, out_ref, *, k_top: int,
@@ -72,30 +78,7 @@ def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, out_ref, *, k_top: int,
     # before the sparse softmax (sab_t1_apply: attn.astype(x.dtype))
     s = s.astype(round_dtype).astype(jnp.float32)
     m = m_ref[0].astype(jnp.float32)
-    r, k = s.shape
-
-    idx = jax.lax.broadcasted_iota(jnp.int32, (r, k), 1)
-    neg_inf = jnp.float32(-jnp.inf)
-    remaining = s
-    keep = jnp.zeros((r, k), jnp.float32)
-    for _ in range(k_top):
-        mx = jnp.max(remaining, axis=-1, keepdims=True)
-        is_max = remaining == mx
-        first = idx == jnp.min(jnp.where(is_max, idx, k), axis=-1,
-                               keepdims=True)
-        hit = jnp.where(is_max & first, 1.0, 0.0)
-        keep = keep + hit
-        remaining = jnp.where(hit > 0, neg_inf, remaining)
-
-    comb = s * keep + s * m
-    zero = comb == 0.0
-    masked = jnp.where(zero, neg_inf, comb)
-    mx = jnp.max(masked, axis=-1, keepdims=True)
-    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
-    e = jnp.exp(masked - mx)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    out = e / jnp.maximum(denom, jnp.finfo(jnp.float32).tiny)
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0] = _sparse_softmax_rows(s, m, k_top).astype(out_ref.dtype)
 
 
 def sab_fused_attn_probs(q, kt, local_mask, temp, k_top: int = 5,
