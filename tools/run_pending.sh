@@ -1,0 +1,40 @@
+#!/bin/bash
+# One-shot runner for the pending on-chip measurement queue (CLAUDE.md):
+# executes the moment the axon tunnel is back. Each stage appends to
+# /tmp/pending_log.txt and is individually timeout-bounded so one wedged
+# compile can't eat the whole queue.
+set -u
+cd /root/repo
+LOG=/tmp/pending_log.txt
+echo "=== run_pending $(date -u +%FT%TZ) @ $(git rev-parse --short HEAD)" | tee -a "$LOG"
+
+# 0. tunnel sanity
+if ! timeout 120 python -c "import jax; print(jax.devices())" >>"$LOG" 2>&1; then
+    echo "TUNNEL DOWN — aborting queue" | tee -a "$LOG"
+    exit 1
+fi
+
+# 1. headline bench at HEAD (channels-major split-proj/linear landed unbenched)
+echo "--- [1] bench.py at HEAD" | tee -a "$LOG"
+timeout 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_head.json
+
+# 2. coarse A/B: channels-major layout forced OFF (only worth reading if [1]
+#    regressed below the 5.32 pre-landing number)
+echo "--- [2] bench.py TURTLE_CHAN_MAJOR=0" | tee -a "$LOG"
+TURTLE_CHAN_MAJOR=0 timeout 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_cm0.json
+
+# 3. tiled-protocol chunking A/B: max_tile_batch 15 vs the default 12 (45 = 3x15)
+echo "--- [3] bench_suite tiled @ max_tile_batch 15" | tee -a "$LOG"
+timeout 2400 python tools/bench_suite.py --iters 12 --max_tile_batch 15 \
+    --skip sr,batch2,1080,desnow >>"$LOG" 2>&1
+
+# 4. full BENCH_SUITE refresh at the final config
+echo "--- [4] bench_suite full refresh" | tee -a "$LOG"
+timeout 3600 python tools/bench_suite.py --iters 12 >>"$LOG" 2>&1
+
+# 5. XLA cost-analysis traffic artifact after the r3 fusions
+echo "--- [5] traffic_json" | tee -a "$LOG"
+timeout 1800 python -m turtlevsr_tpu.cli.bench -opt options/Turtle_Deblur_Gopro.yml \
+    --size 720 1280 --iters 30 --traffic_json TRAFFIC_r03.json >>"$LOG" 2>&1
+
+echo "=== queue done $(date -u +%FT%TZ)" | tee -a "$LOG"
