@@ -110,3 +110,30 @@ def test_memcached_backend():
     assert client.get("/missing") is None
     with pytest.raises(ValueError):
         client.get("bad key with spaces")
+
+
+def test_memcached_multi_server_hash_and_failover():
+    """Multi-server configs route each key to its crc32-modula primary
+    (the libmemcached default) and fail over to the next server only on a
+    CONNECTION error — a miss on the primary is an honest miss."""
+    import zlib
+
+    from turtlevsr_tpu.io.file_client import FileClient
+
+    srv = _FakeMemcached({"/k": b"payload"})
+    srv.start()
+    # dead primary for "/k": pick the server order so crc32 routes to a
+    # closed port first, forcing the connection-failover path
+    dead = socket.socket()
+    dead.bind(("127.0.0.1", 0))
+    dead_port = dead.getsockname()[1]
+    dead.close()  # nothing listens here
+    alive = f"127.0.0.1:{srv.port}"
+    deadcfg = f"127.0.0.1:{dead_port}"
+    servers = ([deadcfg, alive] if zlib.crc32(b"/k") % 2 == 0
+               else [alive, deadcfg])
+    client = FileClient("memcached", server_list_cfg=servers)
+    # primary (dead) -> OSError -> fallback serves it
+    assert client.get("/k") == b"payload"
+    # the reader is cached per connection: a second get reuses it
+    assert client.get("/k") == b"payload"

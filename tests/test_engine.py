@@ -175,3 +175,21 @@ def test_whole_engine_sr_matches_reference_protocol():
         got = eng.step(fr.astype(np.float32))
         np.testing.assert_allclose(got, outs[t], atol=1e-6,
                                    err_msg=f"frame {t}")
+
+
+def test_tile_chunk_heuristic():
+    """Chunk picker: batches below max/2 are excluded (MXU under-fill +
+    dispatch overhead), then least padding waste, then fewest chunks."""
+    class _E:
+        mesh = None
+        max_tile_batch = 12
+
+    tc = InferenceEngine._tile_chunk
+    assert tc(_E(), 45) == 9    # reference 720p grid: 5x9 exact
+    assert tc(_E(), 47) == 12   # prime: 4x12, never 47x1
+    assert tc(_E(), 36) == 12   # two exact divisors: fewer chunks wins
+    assert tc(_E(), 10) == 10   # fits in one batch
+    _E.max_tile_batch = 15
+    assert tc(_E(), 45) == 15   # 3x15 exact
+    _E.max_tile_batch = 1
+    assert tc(_E(), 5) == 1

@@ -135,9 +135,7 @@ def bench_numerics(args, opt, cfg, dtype):
                 "PSNR of the shipped bf16+pallas pipeline against the fp32 "
                 "XLA reference path, streaming cache threaded through both",
     }
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "..", "..", "NUMERICS.json")
-    with open(os.path.normpath(out_path), "w") as f:
+    with open(args.numerics_json, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps({"metric": art["metric"], "value": art["min_db"],
                       "unit": "dB"}))
@@ -168,6 +166,9 @@ def main():
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the timed inference "
                         "iters (view in TensorBoard/Perfetto)")
+    p.add_argument("--numerics_json", default="NUMERICS.json",
+                   help="output path for the --numerics artifact "
+                        "(default: ./NUMERICS.json in the working dir)")
     p.add_argument("--numerics", action="store_true",
                    help="write NUMERICS.json: per-frame PSNR of the shipped "
                         "bf16+pallas pipeline vs the fp32 XLA path at "

@@ -301,7 +301,10 @@ def main():
             data_time = time.time() - t_data
 
             if current_iter == trace_start and not tracing:
-                jax.block_until_ready(state.params)
+                # honest sync: block_until_ready returns early through the
+                # axon tunnel — force a device->host fetch instead
+                np.asarray(jax.tree_util.tree_leaves(state.params)[0]
+                           ).ravel()[:1]
                 jax.profiler.start_trace(args.trace_dir)
                 tracing = True
 
@@ -310,7 +313,7 @@ def main():
             current_iter += 1
 
             if tracing and current_iter >= trace_stop:
-                jax.block_until_ready(logs["l_pix"])
+                float(logs["l_pix"])  # device->host sync (see above)
                 jax.profiler.stop_trace()
                 tracing = False
                 logger.info(f"Profiler trace written to {args.trace_dir}")

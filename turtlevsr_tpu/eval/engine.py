@@ -141,13 +141,17 @@ class InferenceEngine:
         grid — chips share the batch). Prefers an exact divisor; otherwise
         the grid is zero-padded to a multiple of the chunk, choosing the
         chunk that minimises the padded total — so a prime tile count never
-        degenerates to chunk=1 (47 tiles run as 6x8, not 47x1)."""
+        degenerates to chunk=1 (47 tiles run as 4x12, not 47x1)."""
         if self.mesh is not None or n_tiles <= self.max_tile_batch:
             return n_tiles
-        # fewest sequential chunks first (small batches are latency-bound),
-        # then least padding waste
-        return min(range(1, self.max_tile_batch + 1),
-                   key=lambda d: (-(-n_tiles // d), -(-n_tiles // d) * d))
+        # candidate batches of at least max/2 (small chunks run the MXU
+        # under-filled AND multiply dispatch overhead — the prime-count
+        # chunk=1 cliff this guards against); among those, least padding
+        # waste first (every padded tile is a full discarded forward),
+        # then fewest chunks. 45 tiles -> 5x9 exact, 47 -> 4x12.
+        lo = self.max_tile_batch // 2 + 1
+        return min(range(lo, self.max_tile_batch + 1),
+                   key=lambda d: (-(-n_tiles // d) * d, -(-n_tiles // d)))
 
     def _grid_size(self, h: int, w: int):
         hp, wp = _pad8(h, w)

@@ -75,6 +75,7 @@ class MemcachedBackend:
             host, _, port = s.rpartition(":")
             self._servers.append((host or "127.0.0.1", int(port)))
         self._socks = [None] * len(self._servers)
+        self._readers = [None] * len(self._servers)
 
     def _sock(self, i):
         import socket
@@ -82,7 +83,18 @@ class MemcachedBackend:
         if self._socks[i] is None:
             s = socket.create_connection(self._servers[i], timeout=10)
             self._socks[i] = s
-        return self._socks[i]
+            self._readers[i] = s.makefile("rb")
+        return self._socks[i], self._readers[i]
+
+    def _server_order(self, key: bytes):
+        """Primary server by key hash (crc32 modula, the libmemcached
+        default), the rest as connection-failure fallbacks — a miss on the
+        primary is an honest miss, not a cue to scan the cluster."""
+        import zlib
+
+        n = len(self._servers)
+        first = zlib.crc32(key) % n
+        return [(first + j) % n for j in range(n)]
 
     def _readline(self, f):
         line = f.readline()
@@ -95,11 +107,10 @@ class MemcachedBackend:
         if " " in key or "\r" in key or "\n" in key:
             raise ValueError(f"invalid memcached key: {key!r}")
         last_err = None
-        for i in range(len(self._servers)):
+        for i in self._server_order(key.encode()):
             try:
-                s = self._sock(i)
+                s, f = self._sock(i)
                 s.sendall(b"get " + key.encode() + b"\r\n")
-                f = s.makefile("rb")
                 line = self._readline(f)
                 if line == b"END\r\n":
                     return None  # miss, like a failed mc Get
@@ -115,6 +126,7 @@ class MemcachedBackend:
             except (OSError, ConnectionError) as e:
                 last_err = e
                 self._socks[i] = None
+                self._readers[i] = None
         raise ConnectionError(
             f"memcached: all servers failed ({last_err})")
 

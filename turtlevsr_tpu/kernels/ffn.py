@@ -1045,12 +1045,19 @@ def _pick_strip(h: int, w: int, c: int, e: int,
     return best
 
 
-def _pw_rows_fit(rows: int, c: int, ch: int) -> bool:
-    """Feasibility of the no-dw (_pw_kernel) row-block halving loop."""
+def _pw_rows(rows: int, c: int, ch: int) -> int:
+    """Row-block size for the no-dw (_pw_kernel) path, or 0 when no
+    feasible block exists. Per-row live bytes: x + LN copy + fp32 hidden +
+    ~3 gelu transients + fp32 out accumulator. The ONE source of truth —
+    ffn_pallas_supported's promise and fused_block_ffn's grid both use it."""
     s = rows
     while s * (c * 10 + ch * 16) > _VMEM_BUDGET and s % 2 == 0:
         s //= 2
-    return s * (c * 10 + ch * 16) <= _VMEM_BUDGET
+    return s if s * (c * 10 + ch * 16) <= _VMEM_BUDGET else 0
+
+
+def _pw_rows_fit(rows: int, c: int, ch: int) -> bool:
+    return _pw_rows(rows, c, ch) > 0
 
 
 def ffn_pallas_supported(h: int, w: int, c: int, e_dim: int,
@@ -1346,12 +1353,8 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
             "gate without dwconv needs 128-aligned halves "
             f"(e_dim={e_dim}); use the XLA path")
         rows = h * w
-        s = rows
-        # per-row live bytes: x + LN copy + fp32 hidden + ~3 gelu
-        # transients + fp32 out accumulator
-        while s * (c * 10 + ch * 16) > _VMEM_BUDGET and s % 2 == 0:
-            s //= 2
-        assert s * (c * 10 + ch * 16) <= _VMEM_BUDGET, (
+        s = _pw_rows(rows, c, ch)
+        assert s > 0, (
             "no feasible row block for the no-dw kernel; use the XLA path")
         grid = (b, rows // s)
         out = pl.pallas_call(
