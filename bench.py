@@ -37,8 +37,41 @@ def _watchdog(seconds: float):
     return t
 
 
+def _wait_for_tunnel(total_s: float, probe_s: float = 90.0) -> bool:
+    """Probe device acquisition in a SUBPROCESS (an in-process attempt
+    blocks uninterruptibly in backend init when the axon tunnel is down)
+    and retry for a bounded window, so a transiently-down tunnel recovers
+    instead of the whole bench hanging until the watchdog fires."""
+    import subprocess
+    deadline = time.monotonic() + total_s
+    first = True
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_s, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        if first:
+            sys.stderr.write("bench.py: TPU tunnel not responding; "
+                             f"retrying for up to {total_s:.0f}s...\n")
+            sys.stderr.flush()
+            first = False
+        time.sleep(30)
+
+
 def main():
     dog = _watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
+    if not _wait_for_tunnel(float(os.environ.get("BENCH_TUNNEL_WAIT_S",
+                                                 "900"))):
+        sys.stderr.write("bench.py: TPU tunnel down (device acquisition "
+                         "failed every probe); aborting.\n")
+        sys.exit(2)
     import jax
 
     # persistent compilation cache: repeated driver runs skip the ~5 min

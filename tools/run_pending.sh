@@ -37,4 +37,11 @@ echo "--- [5] traffic_json" | tee -a "$LOG"
 timeout 1800 python -m turtlevsr_tpu.cli.bench -opt options/Turtle_Deblur_Gopro.yml \
     --size 720 1280 --iters 30 --traffic_json TRAFFIC_r03.json >>"$LOG" 2>&1
 
+# 6. re-validate NUMERICS.json at HEAD (the channels-major split-proj/linear
+#    kernels landed after the last numerics run; bound the shipped bf16+pallas
+#    pipeline against fp32 XLA again on the real chip)
+echo "--- [6] numerics refresh" | tee -a "$LOG"
+timeout 1800 python -m turtlevsr_tpu.cli.bench -opt options/Turtle_Deblur_Gopro.yml \
+    --size 720 1280 --numerics --numerics_json NUMERICS.json >>"$LOG" 2>&1
+
 echo "=== queue done $(date -u +%FT%TZ)" | tee -a "$LOG"
