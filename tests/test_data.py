@@ -97,3 +97,26 @@ def test_prefetch_loader_batches(dataroot):
     batches = list(loader)
     assert len(batches) == 4
     assert batches[0]["lq"].shape == (2, 5, 48, 48, 3)
+
+def test_prefetch_iter_order_errors_and_break():
+    from turtlevsr_tpu.data.loader import prefetch_iter
+
+    # order-preserving passthrough
+    assert list(prefetch_iter(range(20), depth=3)) == list(range(20))
+
+    # producer exceptions re-raise at the consumer
+    def boom():
+        yield 1
+        yield 2
+        raise RuntimeError("decode failed")
+
+    got = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for x in prefetch_iter(boom()):
+            got.append(x)
+    assert got == [1, 2]
+
+    # breaking out mid-stream doesn't deadlock the producer
+    for x in prefetch_iter(iter(range(1000)), depth=2):
+        if x == 3:
+            break

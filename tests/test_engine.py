@@ -193,3 +193,27 @@ def test_tile_chunk_heuristic():
     assert tc(_E(), 45) == 15   # 3x15 exact
     _E.max_tile_batch = 1
     assert tc(_E(), 5) == 1
+
+def test_step_async_pipeline_matches_step():
+    """step_async with 2 dispatches in flight (the infer CLI pipeline)
+    produces exactly the sequential step outputs — the cache threading is
+    device-side, so overlapping fetches can't change the stream."""
+    opt = tiny_opt("Turtle_t1_arch")
+    ref = build_reference_model(opt)
+    cfg = model_config_from_options(opt)
+    params = params_from_torch_state_dict(ref.state_dict(), dtype=jnp.float32)
+    rng = np.random.RandomState(7)
+    frames = [rng.rand(24, 40, 3).astype(np.float32) for _ in range(4)]
+
+    eng = InferenceEngine(cfg, params, mode="whole", dtype=jnp.float32)
+    seq = [eng.step(fr) for fr in frames]
+
+    eng2 = InferenceEngine(cfg, params, mode="whole", dtype=jnp.float32)
+    pending, got = [], []
+    for fr in frames:
+        pending.append(eng2.step_async(fr))
+        if len(pending) > 2:
+            got.append(np.asarray(pending.pop(0), np.float32))
+    got += [np.asarray(p, np.float32) for p in pending]
+    for a, b in zip(seq, got):
+        np.testing.assert_array_equal(a, b)

@@ -17,6 +17,52 @@ from typing import Iterator
 import numpy as np
 
 
+def prefetch_iter(iterable, depth: int = 2):
+    """Run `iterable` in a background thread, keeping up to `depth` items
+    decoded ahead of the consumer — hides host-side frame decode behind
+    device compute in the streaming-inference loop. Exceptions in the
+    producer re-raise at the consumer's next pull; breaking out of the
+    consuming loop is safe (the producer is a daemon and unblocks on a
+    bounded put timeout)."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END, _ERR = object(), object()
+
+    def produce():
+        def put(item):
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        try:
+            for item in iterable:
+                if not put((None, item)):
+                    return
+        except BaseException as e:  # re-raised consumer-side
+            put((_ERR, e))
+            return
+        put((_END, None))
+
+    t = threading.Thread(target=produce, daemon=True)
+    t.start()
+    try:
+        while True:
+            tag, item = q.get()
+            if tag is _END:
+                break
+            if tag is _ERR:
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while not q.empty():
+            q.get_nowait()
+
+
 class PrefetchLoader:
     def __init__(self, dataset, sampler, batch_size: int, *,
                  num_workers: int = 2, prefetch: int = 2, drop_last: bool = True):

@@ -110,6 +110,14 @@ class InferenceEngine:
 
     def step(self, frame: np.ndarray) -> np.ndarray:
         """Restore one HWC [0,1] frame, advancing the causal history."""
+        return np.asarray(self.step_async(frame), np.float32)
+
+    def step_async(self, frame: np.ndarray):
+        """Like step, but returns the DEVICE array (H, W, C, engine dtype)
+        without a host sync. Fetching it (np.asarray) blocks until the
+        device finishes; dispatching the next step_async first lets host
+        postprocessing of this frame overlap the next frame's compute —
+        JAX dispatch is async and the cache stays device-resident."""
         h, w, _ = frame.shape
         if self._shape != (h, w):
             self._shape = (h, w)
@@ -121,7 +129,7 @@ class InferenceEngine:
             self._cache = self._fresh_cache()
         out, self._cache = self._step_fn(self.params, prev, cur, self._cache)
         self._prev = cur
-        return np.asarray(out[0], np.float32)
+        return out[0]
 
     # ------------------------------------------------------------------
     def _fresh_cache(self):
