@@ -66,12 +66,15 @@ def _wait_for_tunnel(total_s: float, probe_s: float = 90.0) -> bool:
 
 
 def main():
-    dog = _watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
     if not _wait_for_tunnel(float(os.environ.get("BENCH_TUNNEL_WAIT_S",
                                                  "900"))):
         sys.stderr.write("bench.py: TPU tunnel down (device acquisition "
                          "failed every probe); aborting.\n")
         sys.exit(2)
+    # armed AFTER the tunnel wait so the retry window doesn't eat the
+    # compile+run budget (and a long BENCH_TUNNEL_WAIT_S isn't silently
+    # capped by the watchdog)
+    dog = _watchdog(float(os.environ.get("BENCH_TIMEOUT_S", "2400")))
     import jax
 
     # persistent compilation cache: repeated driver runs skip the ~5 min

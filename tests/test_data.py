@@ -120,3 +120,7 @@ def test_prefetch_iter_order_errors_and_break():
     for x in prefetch_iter(iter(range(1000)), depth=2):
         if x == 3:
             break
+
+    # depth < 1 would mean an UNBOUNDED queue (Queue(0)) — rejected
+    with pytest.raises(ValueError, match="depth"):
+        next(prefetch_iter(range(3), depth=0))

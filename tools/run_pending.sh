@@ -9,39 +9,46 @@ LOG=/tmp/pending_log.txt
 echo "=== run_pending $(date -u +%FT%TZ) @ $(git rev-parse --short HEAD)" | tee -a "$LOG"
 
 # 0. tunnel sanity
-if ! timeout 120 python -c "import jax; print(jax.devices())" >>"$LOG" 2>&1; then
+if ! timeout -k 5 120 python -c "import jax; print(jax.devices())" >>"$LOG" 2>&1; then
     echo "TUNNEL DOWN — aborting queue" | tee -a "$LOG"
     exit 1
 fi
 
 # 1. headline bench at HEAD (channels-major split-proj/linear landed unbenched)
 echo "--- [1] bench.py at HEAD" | tee -a "$LOG"
-timeout 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_head.json
+timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_head.json
 
 # 2. coarse A/B: channels-major layout forced OFF (only worth reading if [1]
 #    regressed below the 5.32 pre-landing number)
 echo "--- [2] bench.py TURTLE_CHAN_MAJOR=0" | tee -a "$LOG"
-TURTLE_CHAN_MAJOR=0 timeout 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_cm0.json
+TURTLE_CHAN_MAJOR=0 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_cm0.json
 
 # 3. tiled-protocol chunking A/B: max_tile_batch 15 vs the default 12 (45 = 3x15)
 echo "--- [3] bench_suite tiled @ max_tile_batch 15" | tee -a "$LOG"
-timeout 2400 python tools/bench_suite.py --iters 12 --max_tile_batch 15 \
+timeout -k 10 2400 python tools/bench_suite.py --iters 12 --max_tile_batch 15 \
     --skip sr,batch2,1080,desnow >>"$LOG" 2>&1
 
 # 4. full BENCH_SUITE refresh at the final config
 echo "--- [4] bench_suite full refresh" | tee -a "$LOG"
-timeout 3600 python tools/bench_suite.py --iters 12 >>"$LOG" 2>&1
+timeout -k 10 3600 python tools/bench_suite.py --iters 12 >>"$LOG" 2>&1
 
 # 5. XLA cost-analysis traffic artifact after the r3 fusions
 echo "--- [5] traffic_json" | tee -a "$LOG"
-timeout 1800 python -m turtlevsr_tpu.cli.bench -opt options/Turtle_Deblur_Gopro.yml \
+timeout -k 10 1800 python -m turtlevsr_tpu.cli.bench -opt options/Turtle_Deblur_Gopro.yml \
     --size 720 1280 --iters 30 --traffic_json TRAFFIC_r03.json >>"$LOG" 2>&1
 
 # 6. re-validate NUMERICS.json at HEAD (the channels-major split-proj/linear
 #    kernels landed after the last numerics run; bound the shipped bf16+pallas
 #    pipeline against fp32 XLA again on the real chip)
 echo "--- [6] numerics refresh" | tee -a "$LOG"
-timeout 1800 python -m turtlevsr_tpu.cli.bench -opt options/Turtle_Deblur_Gopro.yml \
+timeout -k 10 1800 python -m turtlevsr_tpu.cli.bench -opt options/Turtle_Deblur_Gopro.yml \
     --size 720 1280 --numerics --numerics_json NUMERICS.json >>"$LOG" 2>&1
+
+# 7. per-block/per-level profile at HEAD — feeds the next optimisation
+#    target pick (the CLAUDE.md micro numbers predate the channels-major
+#    split-proj/linear kernels)
+echo "--- [7] block/level profiles" | tee -a "$LOG"
+timeout -k 10 1800 python tools/profile_blocks.py > /tmp/profile_blocks_head.txt 2>&1
+timeout -k 10 1200 python tools/profile_levels.py > /tmp/profile_levels_head.txt 2>&1
 
 echo "=== queue done $(date -u +%FT%TZ)" | tee -a "$LOG"

@@ -5,7 +5,9 @@ set -u
 LOG=/tmp/tunnel_watch.log
 echo "=== tunnel_watch start $(date -u +%FT%TZ)" >> "$LOG"
 for i in $(seq 1 260); do
-    if timeout 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+    # -k 5: the wedged backend-init survives SIGTERM (see bench.py notes);
+    # follow up with SIGKILL or the watcher never advances past probe 1
+    if timeout -k 5 90 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
         echo "tunnel UP at $(date -u +%FT%TZ) (probe $i)" >> "$LOG"
         bash /root/repo/tools/run_pending.sh >> "$LOG" 2>&1
         echo "queue finished $(date -u +%FT%TZ)" >> "$LOG"

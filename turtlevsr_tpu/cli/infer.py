@@ -211,7 +211,7 @@ def main():
         raise FileNotFoundError(f"no video folders under {args.data_dir}")
 
     all_psnr, all_ssim = [], []
-    total_frames, total_time = 0, 0.0
+    total_frames, total_time, device_time = 0, 0.0, 0.0
     for vdir in videos:
         vname = os.path.basename(vdir)
         frames = VideoFrames(vdir)
@@ -230,13 +230,12 @@ def main():
                 dataset_name=args.dataset_name, seed=args.seed)
         engine.reset()
         v_psnr, v_ssim = [], []
-        gt_iter = iter(prefetch_iter(gt_frames)) if gt_frames else None
+        gt_iter = prefetch_iter(gt_frames) if gt_frames else None
 
-        def postprocess(ix, frame, gt, out_dev):
+        def postprocess(ix, frame, gt, out):
             # runs on the single postprocess worker (in submission order)
-            # while the device computes the NEXT frame: the output fetch
-            # below is the only device sync in the pipeline
-            out = np.asarray(out_dev, np.float32)
+            # while the device computes the NEXT frame; `out` is already
+            # a host array (fetched on the main loop thread)
             out_u8 = img_from_float(out)
             ps = ss = float("nan")
             if gt is not None and not args.no_gt:
@@ -262,27 +261,52 @@ def main():
                     imwrite(out_u8, os.path.join(args.save_path, vname,
                                                  f"Frame_{ix + 1}_Pred.png"))
 
-        # 1-worker/2-deep pipeline: frame decode rides the prefetch thread,
-        # metrics + PNG writes ride the postprocess worker, and the device
-        # runs up to 2 frames ahead — end-to-end wall FPS, nothing hidden
+        # 1-worker pipeline: frame decode rides the prefetch thread, the
+        # device runs one frame ahead of the main-thread output fetch, and
+        # metrics + PNG writes ride the postprocess worker. The fetch stays
+        # on the MAIN thread so the device-loop clock (dispatch->fetch) is
+        # not distorted by slow postprocess (matplotlib/PNG on one core);
+        # "FPS:" below is end-to-end wall, the reference's semantics
+        # (inference_no_ground_truth.py:195,288-291 times its whole loop
+        # including saving).
         t_loop = time.perf_counter()
         n_vid = 0
         futs = deque()
-        with ThreadPoolExecutor(1) as post:
-            for ix, frame in enumerate(prefetch_iter(frames)):
-                if args.max_frames and ix >= args.max_frames:
-                    break
-                gt = next(gt_iter) if gt_iter else None
-                if noisy_paths is not None:
-                    gt = frame
-                    frame = np.load(noisy_paths[ix]).astype(np.float32)
-                out_dev = engine.step_async(frame)
-                futs.append(post.submit(postprocess, ix, frame, gt, out_dev))
-                n_vid += 1
-                while len(futs) > 2:
+        pending = None  # (ix, frame, gt, out_dev) awaiting its fetch
+        frame_iter = prefetch_iter(frames)
+        try:
+            with ThreadPoolExecutor(1) as post:
+                for ix, frame in enumerate(frame_iter):
+                    if args.max_frames and ix >= args.max_frames:
+                        break
+                    gt = next(gt_iter) if gt_iter else None
+                    if noisy_paths is not None:
+                        gt = frame
+                        frame = np.load(noisy_paths[ix]).astype(np.float32)
+                    out_dev = engine.step_async(frame)
+                    if pending is not None:
+                        p_ix, p_frame, p_gt, p_dev = pending
+                        out = np.asarray(p_dev, np.float32)
+                        futs.append(post.submit(
+                            postprocess, p_ix, p_frame, p_gt, out))
+                        while len(futs) > 2:
+                            futs.popleft().result()
+                    pending = (ix, frame, gt, out_dev)
+                    n_vid += 1
+                if pending is not None:
+                    p_ix, p_frame, p_gt, p_dev = pending
+                    out = np.asarray(p_dev, np.float32)
+                    futs.append(post.submit(
+                        postprocess, p_ix, p_frame, p_gt, out))
+                device_time += time.perf_counter() - t_loop
+                while futs:
                     futs.popleft().result()
-            while futs:
-                futs.popleft().result()
+        finally:
+            # stop the prefetch producers promptly (an early --max_frames
+            # break would otherwise leave them spinning until GC)
+            frame_iter.close()
+            if gt_iter is not None:
+                gt_iter.close()
         total_time += time.perf_counter() - t_loop
         total_frames += n_vid
 
@@ -295,6 +319,11 @@ def main():
     if total_frames:
         print(f"FPS: {total_frames / total_time:.3f} "
               f"({total_frames} frames in {total_time:.1f}s)")
+        if device_time > 0:
+            # decode+compute only (clock stops at the last output fetch,
+            # before the postprocess futures drain) — comparable with the
+            # model-only FPS earlier revisions of this CLI printed
+            print(f"Device-loop FPS: {total_frames / device_time:.3f}")
     if all_psnr:
         print(f"Overall PSNR: {mean(all_psnr)}")
         print(f"Overall SSIM: {mean(all_ssim)}")

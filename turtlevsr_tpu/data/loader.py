@@ -24,6 +24,10 @@ def prefetch_iter(iterable, depth: int = 2):
     producer re-raise at the consumer's next pull; breaking out of the
     consuming loop is safe (the producer is a daemon and unblocks on a
     bounded put timeout)."""
+    if depth < 1:
+        # Queue(maxsize=0) would mean UNBOUNDED — the producer would decode
+        # the whole stream into host RAM instead of "no readahead"
+        raise ValueError(f"prefetch depth must be >= 1, got {depth}")
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
     _END, _ERR = object(), object()
