@@ -18,6 +18,15 @@ fi
 echo "--- [1] bench.py at HEAD" | tee -a "$LOG"
 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_head.json
 
+# 1b. if stage 1 produced no JSON (compile wedge / hang in the unbenched
+#     channels-major split-proj/linear kernels is the prime suspect), force
+#     the channels-major layout OFF for every remaining stage so one bad
+#     kernel can't take down the whole queue
+if ! grep -q '"metric"' /tmp/bench_head.json 2>/dev/null; then
+    echo "stage 1 produced no result — forcing TURTLE_CHAN_MAJOR=0 for the rest" | tee -a "$LOG"
+    export TURTLE_CHAN_MAJOR=0
+fi
+
 # 2. coarse A/B: channels-major layout forced OFF (only worth reading if [1]
 #    regressed below the 5.32 pre-landing number)
 echo "--- [2] bench.py TURTLE_CHAN_MAJOR=0" | tee -a "$LOG"
