@@ -45,16 +45,32 @@ def _wait_for_tunnel(total_s: float, probe_s: float = 90.0) -> bool:
     import subprocess
     deadline = time.monotonic() + total_s
     first = True
+    fast_fails = 0  # consecutive quick nonzero exits = deterministic error
     while True:
         try:
+            t0 = time.monotonic()
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
                 timeout=probe_s, stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL)
             if r.returncode == 0:
                 return True
+            # a probe that ERRORS quickly (vs hanging) means the backend is
+            # reporting hard-down, not wedged; a few of those in a row won't
+            # change for the rest of the window — fail fast instead of
+            # burning the full retry budget on a deterministic error
+            if time.monotonic() - t0 < probe_s / 3:
+                fast_fails += 1
+                if fast_fails >= 4:
+                    sys.stderr.write(
+                        "bench.py: device acquisition erroring fast and "
+                        f"consistently ({fast_fails} probes) — hard-down, "
+                        "not retrying further.\n")
+                    return False
+            else:
+                fast_fails = 0
         except subprocess.TimeoutExpired:
-            pass
+            fast_fails = 0
         if time.monotonic() >= deadline:
             return False
         if first:
@@ -134,12 +150,20 @@ def main():
 
     fps = n_iters / dt
     baseline = 30.0
-    print(json.dumps({
+    line = {
         "metric": "gopro_720p_deblur_fps_1chip",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
-    }))
+    }
+    # layout/VMEM env overrides change what is measured — stamp them so a
+    # forced A/B run can never masquerade as the default configuration
+    env_overrides = {k: os.environ[k]
+                     for k in ("TURTLE_CHAN_MAJOR", "TURTLE_KERNEL_VMEM_MB")
+                     if k in os.environ}
+    if env_overrides:
+        line["env_overrides"] = env_overrides
+    print(json.dumps(line))
     dog.cancel()
 
 

@@ -112,6 +112,42 @@ def test_memcached_backend():
         client.get("bad key with spaces")
 
 
+def test_memcached_malformed_reply_drops_socket():
+    """A malformed VALUE header (or bad terminator) leaves the stream
+    desynchronized — the client must treat it as a connection failure,
+    drop the cached socket, and reconnect cleanly on the next get."""
+    from turtlevsr_tpu.io.file_client import FileClient
+
+    class _EvilThenGood(threading.Thread):
+        def __init__(self):
+            super().__init__(daemon=True)
+            self.sock = socket.socket()
+            self.sock.bind(("127.0.0.1", 0))
+            self.sock.listen(2)
+            self.port = self.sock.getsockname()[1]
+
+        def run(self):
+            # first connection: garbled header (no byte count), then EOF
+            conn, _ = self.sock.accept()
+            conn.makefile("rb").readline()
+            conn.sendall(b"VALUE /k 0\r\n")
+            conn.close()
+            # second connection: well-formed replies forever
+            conn, _ = self.sock.accept()
+            f = conn.makefile("rb")
+            while f.readline():
+                conn.sendall(b"VALUE /k 0 7\r\npayload\r\nEND\r\n")
+
+    srv = _EvilThenGood()
+    srv.start()
+    client = FileClient("memcached",
+                        server_list_cfg=f"127.0.0.1:{srv.port}")
+    with pytest.raises(ConnectionError):
+        client.get("/k")  # malformed header -> all servers failed
+    # the poisoned socket was dropped: this reconnects and succeeds
+    assert client.get("/k") == b"payload"
+
+
 def test_memcached_multi_server_hash_and_failover():
     """Multi-server configs route each key to its crc32-modula primary
     (the libmemcached default) and fail over to the next server only on a

@@ -78,6 +78,12 @@ def main():
     def skipped(name):
         return any(s and s in name for s in args.skip.split(","))
 
+    # layout/VMEM env overrides change what is being measured — stamp them
+    # into every line so a forced run can never masquerade as the default
+    env_overrides = {k: os.environ[k]
+                     for k in ("TURTLE_CHAN_MAJOR", "TURTLE_KERNEL_VMEM_MB")
+                     if k in os.environ}
+
     import jax
     import jax.numpy as jnp
 
@@ -160,6 +166,10 @@ def main():
                         "protocol": "tile 256 / overlap 64 "
                                     "(inference.py:531-532)"})
         print(json.dumps(results[-1]), flush=True)
+
+    if env_overrides:
+        for r in results:
+            r["env_overrides"] = env_overrides
 
     out_path = os.path.join(root, "BENCH_SUITE.json")
     if args.skip:  # partial run: merge into the existing artifact

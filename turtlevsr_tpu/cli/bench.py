@@ -14,9 +14,19 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import time
 
 import numpy as np
+
+
+def _env_overrides() -> dict:
+    """Layout/VMEM env knobs that change what a measurement means — stamped
+    into written artifacts so a forced A/B run can't masquerade as the
+    default configuration."""
+    return {k: os.environ[k]
+            for k in ("TURTLE_CHAN_MAJOR", "TURTLE_KERNEL_VMEM_MB")
+            if k in os.environ}
 
 
 def bench_train_step(args, opt, cfg, dtype):
@@ -135,6 +145,9 @@ def bench_numerics(args, opt, cfg, dtype):
                 "PSNR of the shipped bf16+pallas pipeline against the fp32 "
                 "XLA reference path, streaming cache threaded through both",
     }
+    env_overrides = _env_overrides()
+    if env_overrides:
+        art["env_overrides"] = env_overrides
     with open(args.numerics_json, "w") as f:
         json.dump(art, f, indent=1)
     print(json.dumps({"metric": art["metric"], "value": art["min_db"],
@@ -192,6 +205,11 @@ def main():
     if args.train_step:
         return bench_train_step(args, opt, cfg, dtype)
     if args.numerics:
+        # the numerics artifact is DEFINED as shipped-bf16+pallas vs
+        # fp32+xla; honoring other flags would mislabel it
+        if args.kernels != "pallas" or args.dtype != "bfloat16":
+            p.error("--numerics always compares bf16+pallas vs fp32+xla; "
+                    "--kernels/--dtype have no effect in this mode")
         return bench_numerics(args, opt, cfg, dtype)
 
     params = jax.tree.map(lambda a: a.astype(dtype),
@@ -211,16 +229,19 @@ def main():
               f"(~{ca.get('flops', 0) / 2e9:.2f} GMac)")
         print(f"HBM bytes/frame:   {ca.get('bytes accessed', 0) / 1e9:.2f} GB")
         if args.traffic_json:
+            art = {
+                "metric": "xla_cost_analysis_per_frame",
+                "opt": os.path.basename(args.opt),
+                "size": list(args.size),
+                "kernels": args.kernels,
+                "dtype": args.dtype,
+                "flops_g": round(ca.get("flops", 0) / 1e9, 2),
+                "hbm_gb": round(ca.get("bytes accessed", 0) / 1e9, 2),
+            }
+            if _env_overrides():
+                art["env_overrides"] = _env_overrides()
             with open(args.traffic_json, "w") as f:
-                json.dump({
-                    "metric": "xla_cost_analysis_per_frame",
-                    "opt": os.path.basename(args.opt),
-                    "size": list(args.size),
-                    "kernels": args.kernels,
-                    "dtype": args.dtype,
-                    "flops_g": round(ca.get("flops", 0) / 1e9, 2),
-                    "hbm_gb": round(ca.get("bytes accessed", 0) / 1e9, 2),
-                }, f, indent=1)
+                json.dump(art, f, indent=1)
     except Exception as e:  # cost analysis is best-effort
         print(f"(cost analysis unavailable: {e})")
 

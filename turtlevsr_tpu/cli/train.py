@@ -343,7 +343,10 @@ def main():
         epoch += 1
 
     if tracing:
-        jax.block_until_ready(state.params)
+        # honest sync: block_until_ready returns early through the axon
+        # tunnel (CLAUDE.md) — fetch a leaf to host like the in-loop hook
+        from turtlevsr_tpu.utils.profiling import device_sync
+        device_sync(state.params)
         jax.profiler.stop_trace()
         logger.info(f"Profiler trace written to {args.trace_dir}")
 

@@ -117,14 +117,29 @@ class MemcachedBackend:
                 if not line.startswith(b"VALUE "):
                     raise ConnectionError(
                         f"memcached: unexpected reply {line!r}")
-                nbytes = int(line.split()[3])
+                # malformed framing (short header, truncated body) leaves
+                # the socket desynchronized mid-reply — treat it exactly
+                # like a connection failure so the handler below drops the
+                # cached socket instead of reusing a poisoned stream
+                try:
+                    nbytes = int(line.split()[3])
+                except (IndexError, ValueError):
+                    raise ConnectionError(
+                        f"memcached: malformed VALUE header {line!r}")
                 data = f.read(nbytes)
                 f.read(2)  # trailing \r\n
                 end = self._readline(f)
-                assert end == b"END\r\n", end
+                if end != b"END\r\n":
+                    raise ConnectionError(
+                        f"memcached: bad reply terminator {end!r}")
                 return data
             except (OSError, ConnectionError) as e:
                 last_err = e
+                if self._socks[i] is not None:
+                    try:
+                        self._socks[i].close()
+                    except OSError:
+                        pass
                 self._socks[i] = None
                 self._readers[i] = None
         raise ConnectionError(
