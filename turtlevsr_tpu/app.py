@@ -109,17 +109,42 @@ def restore_video(video_path: str, task: str, ckpt_dir: str,
 
     engine = InferenceEngine(cfg, params,
                              mode="tiled" if tile else "whole", tile=tile)
+    # one-frame-lag pipeline (same shape as cli/infer.py): dispatch frame i
+    # before fetching frame i-1's output, so PNG decode/encode on the host
+    # overlaps the device compute; a 1-thread executor keeps writes ordered
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
-    for i, f in enumerate(files):
-        if job.cancel.is_set():
-            return {"status": "cancelled"}
-        img = float_from_img(np.asarray(
-            Image.open(os.path.join(frames_dir, f)).convert("RGB")))
-        out = engine.step(img)
-        imwrite(img_from_float(out), os.path.join(out_dir, f))
+    pending = None  # (index, filename, device output) awaiting its fetch
+    futs = deque()
+
+    def write_out(fname, out_np, i):
+        imwrite(img_from_float(out_np), os.path.join(out_dir, fname))
         job.progress = 0.3 + 0.5 * (i + 1) / len(files)
         if progress_cb:
             progress_cb(job.progress)
+
+    with ThreadPoolExecutor(1) as post:
+        for i, f in enumerate(files):
+            if job.cancel.is_set():
+                return {"status": "cancelled"}
+            img = float_from_img(np.asarray(
+                Image.open(os.path.join(frames_dir, f)).convert("RGB")))
+            out_dev = engine.step_async(img)
+            if pending is not None:
+                p_i, p_f, p_dev = pending
+                out = np.asarray(p_dev, np.float32)  # device sync on main thread
+                futs.append(post.submit(write_out, p_f, out, p_i))
+                while len(futs) > 2:
+                    futs.popleft().result()
+            pending = (i, f, out_dev)
+        if pending is not None:
+            p_i, p_f, p_dev = pending
+            futs.append(post.submit(write_out, p_f,
+                                    np.asarray(p_dev, np.float32), p_i))
+        while futs:
+            futs.popleft().result()
     fps = len(files) / (time.time() - t0)
 
     result = os.path.join(work, "restored.mp4")
