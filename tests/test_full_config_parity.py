@@ -88,3 +88,11 @@ def test_full_denoise_config_parity_alias_map():
 
 def test_full_sr_config_parity():
     _compare_shipped("options/Turtle_SR_MVSR.yml", 16, 16)
+
+
+def test_full_desnow_t0_config_parity():
+    """Turtle_arch (t0) at the shipped scale — with this, every DISTINCT
+    shipped graph is parity-pinned: Turtle_Derain.yml is model-identical to
+    Desnow (both t0, same block mix) and Turtle_Derain_VRDS.yml to
+    Deblur_Gopro (both t1), differing only in the task tag."""
+    _compare_shipped("options/Turtle_Desnow.yml", 64, 64)
