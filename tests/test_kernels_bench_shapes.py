@@ -179,6 +179,21 @@ def test_gffw_batched_po_input():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_gffw_kernel_at_tiled_protocol_shape():
+    """Tile-batched geometry of the reference eval protocol (tile 320,
+    tiles ride the batch axis through eval/engine.py): W=320, b=3. Pins the
+    per-image row blocking — tiles must not leak dw3x3 halos into each
+    other across the batch dimension."""
+    hid = 160
+    x = _rand(0, (3, H, 320, C))
+    p = dict(ln_w=_rand(1, (C,)) * 0.1 + 1.0, ln_b=_rand(2, (C,)) * 0.1,
+             w1=_rand(3, (C, 2 * hid)) * 0.1, wd=_rand(4, (3, 3, 2 * hid)),
+             w2=_rand(5, (hid, C)) * 0.1)
+    got = fused_block_ffn(x, mode="gate", residual=True, interpret=True, **p)
+    want = _ffn_xla(x, p, "gate", True, "with_bias")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_chm_stats_kernel_at_bench_shape():
     """fused_chm_stats (q/k/kh maps never leave VMEM) vs the XLA chain at
     the dec1 bench width: v/vh maps, gram q^T k, per-frame gh = q^T kh_n
