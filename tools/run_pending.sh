@@ -60,4 +60,11 @@ echo "--- [7] block/level profiles" | tee -a "$LOG"
 timeout -k 10 1800 python tools/profile_blocks.py > /tmp/profile_blocks_head.txt 2>&1
 timeout -k 10 1200 python tools/profile_levels.py > /tmp/profile_levels_head.txt 2>&1
 
+# 8. training-step refresh: the r3 graph folds (q2/k2 patchify, reduce_chan
+#    concat fold) live in the shared XLA path the training recipe uses, so
+#    BENCH_TRAIN.json's 626 ms/iter predates them
+echo "--- [8] train-step refresh" | tee -a "$LOG"
+timeout -k 10 2400 python -m turtlevsr_tpu.cli.bench \
+    -opt options/Turtle_Deblur_Gopro.yml --train_step >>"$LOG" 2>&1
+
 echo "=== queue done $(date -u +%FT%TZ)" | tee -a "$LOG"
