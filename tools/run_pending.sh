@@ -67,4 +67,8 @@ echo "--- [8] train-step refresh" | tee -a "$LOG"
 timeout -k 10 2400 python -m turtlevsr_tpu.cli.bench \
     -opt options/Turtle_Deblur_Gopro.yml --train_step >>"$LOG" 2>&1
 
+# 9. floor-vs-measured comparison (pure host math; reads TRAFFIC_r03.json)
+echo "--- [9] roofline floor vs measured" | tee -a "$LOG"
+timeout -k 10 300 python tools/roofline.py >>"$LOG" 2>&1
+
 echo "=== queue done $(date -u +%FT%TZ)" | tee -a "$LOG"
