@@ -194,6 +194,32 @@ def test_gffw_kernel_at_tiled_protocol_shape():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+def test_gffw_multi_pair_po_inputs():
+    """The FFN kernel's MULTI pair-input path (CHM's attention apply fold:
+    nf+1 value maps each with its own composed attn@W_po matrix) vs the
+    XLA chain, at the dec1 bench width. Covers both the channels-major
+    (bias-free e=160) and token-major (ln-bias) kernels."""
+    hid = 160
+    x = _rand(0, (2, H, W, C))
+    # the shipped call shape: one STACKED (B, nf, H, W, C) history buffer
+    # (kernel block specs index the frame dim, no slice copies) + the
+    # current-frame map, four composed per-batch po matrices
+    x2s = [_rand(10, (2, 3, H, W, C)), _rand(11, (2, H, W, C))]
+    pos = [_rand(20 + i, (2, C, C)) * 0.2 for i in range(4)]
+    p = dict(ln_w=_rand(1, (C,)) * 0.1 + 1.0,
+             w1=_rand(3, (C, 2 * hid)) * 0.1, wd=_rand(4, (3, 3, 2 * hid)),
+             w2=_rand(5, (hid, C)) * 0.1)
+    for extra_ln in (dict(), dict(ln_b=_rand(2, (C,)) * 0.1)):
+        q = dict(p, **extra_ln)
+        got = fused_block_ffn(x, mode="gate", residual=True, interpret=True,
+                              x2=x2s, po_w=pos, **q)
+        want = _ffn_xla(x, dict(q, x2=x2s, po_w=pos), "gate", True,
+                        "with_bias" if extra_ln else "bias_free")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5,
+                                   err_msg=f"ln_b={bool(extra_ln)}")
+
+
 def test_chm_stats_kernel_at_bench_shape():
     """fused_chm_stats (q/k/kh maps never leave VMEM) vs the XLA chain at
     the dec1 bench width: v/vh maps, gram q^T k, per-frame gh = q^T kh_n

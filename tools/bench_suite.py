@@ -81,7 +81,8 @@ def main():
     # layout/VMEM env overrides change what is being measured — stamp them
     # into every line so a forced run can never masquerade as the default
     env_overrides = {k: os.environ[k]
-                     for k in ("TURTLE_CHAN_MAJOR", "TURTLE_KERNEL_VMEM_MB")
+                     for k in ("TURTLE_CHAN_MAJOR", "TURTLE_KERNEL_VMEM_MB",
+                      "TURTLE_CHM_IN_FFN")
                      if k in os.environ}
 
     import jax

@@ -32,6 +32,11 @@ fi
 echo "--- [2] bench.py TURTLE_CHAN_MAJOR=0" | tee -a "$LOG"
 TURTLE_CHAN_MAJOR=0 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_cm0.json
 
+# 2b. CHM-apply-in-FFN fold A/B (landed parity-green after the tunnel went
+#     down; defaults ON — this run isolates its contribution)
+echo "--- [2b] bench.py TURTLE_CHM_IN_FFN=0" | tee -a "$LOG"
+TURTLE_CHM_IN_FFN=0 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_chmffn0.json
+
 # 3. tiled-protocol chunking A/B: max_tile_batch 15 vs the default 12 (45 = 3x15)
 echo "--- [3] bench_suite tiled @ max_tile_batch 15" | tee -a "$LOG"
 timeout -k 10 2400 python tools/bench_suite.py --iters 12 --max_tile_batch 15 \

@@ -122,7 +122,7 @@ def _border_masks(sw: int, w: int):
 
 
 def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
-               e_dim, has_b1, residual, has_pair, has_po):
+               e_dim, has_b1, residual, n_pair, pair_4d=(), has_po=False):
     """Strip program: S image rows per step + one halo row each side (the
     halo rows arrive as separate clamped row blocks).
 
@@ -134,9 +134,10 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     corrections (only when biases exist; the shipped configs have none on
     these convs).
 
-    rest layout: (xa2, xm2, xb2 if has_pair — a second addend stream, e.g.
-    the attention branch whose residual add fuses here instead of
-    materialising the summed map), w1_a, wd9_a, (w1_b, wd9_b if gate),
+    rest layout: ((xa2, xm2, xb2) x n_pair — extra addend streams, e.g.
+    the attention branch(es) whose residual add fuses here instead of
+    materialising the summed map; with has_po each map also gets its own
+    po matrix, + one shared bias), w1_a, wd9_a, (w1_b, wd9_b if gate),
     bias_vecs (9 or 18 if has_b1: s_all/s_l/s_r/s_t/s_b/s_tl/s_tr/s_bl/
     s_br per half), w2, b2, scale, then out_ref, xn_ref, h1_ref. The
     column-wrap / border masks are generated in-kernel from an iota
@@ -149,9 +150,10 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
         idx += k
         return out
 
-    if has_pair:
-        xa2, xm2, xb2 = take(3)
-        wpo, bpo = take(2) if has_po else (None, None)
+    if n_pair:
+        pairs = [take(3) for _ in range(n_pair)]
+        wpos = take(n_pair) if has_po else None
+        bpo = take(1)[0] if has_po else None
     w1_a, wd9_a = take(2)
     w1_b, wd9_b = take(2) if mode == "gate" else (w1_a, wd9_a)
     sv_a = take(9) if has_b1 else None
@@ -166,26 +168,32 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     n = sw + 2 * w
     cml_x, cmr_x = _col_wrap_masks(n, w)
 
-    if has_pair:
+    if n_pair:
         # the block residual x + attn(x) fuses here: LN (and the final
         # residual) see the SUM without it ever hitting HBM. With has_po
-        # the attention branch arrives UNPROJECTED and its project_out
-        # (1x1) runs on the MXU here too — the projected map never exists.
-        def pair_sum(xr, x2r):
-            a2 = x2r[0]
-            if has_po:
-                # wpo is batch-blocked (1, C, C): channel attention feeds a
-                # DATA-DEPENDENT per-batch po' = blockdiag(attn^T) @ W_po
-                a2 = jnp.dot(a2, wpo[0],
-                             preferred_element_type=jnp.float32
-                             ).astype(xm.dtype)
-                a2 = a2 + bpo[:].astype(xm.dtype)
-            return (xr[0].astype(jnp.float32)
-                    + a2.astype(jnp.float32)).astype(xm.dtype)
+        # the attention branch(es) arrive UNPROJECTED and their
+        # project_out matmuls run on the MXU here — the projected maps
+        # never exist. Multiple maps (CHM's per-history-frame value maps
+        # with composed attn@W_po matrices) accumulate in fp32.
+        def pair_sum(xr, k):
+            acc = xr[0].astype(jnp.float32)
+            for j in range(n_pair):
+                ref = pairs[j][k]
+                a2 = ref[0, 0] if (pair_4d and pair_4d[j]) else ref[0]
+                if has_po:
+                    # wpo_j is batch-blocked (1, C, C): a DATA-DEPENDENT
+                    # per-batch po' = blockdiag(attn^T) @ W_po slice
+                    a2 = jnp.dot(a2, wpos[j][0],
+                                 preferred_element_type=jnp.float32
+                                 ).astype(xm.dtype)
+                    if j == 0:
+                        a2 = a2 + bpo[:].astype(xm.dtype)
+                acc = acc + a2.astype(jnp.float32)
+            return acc.astype(xm.dtype)
 
-        x_top = pair_sum(xa, xa2)
-        x_mid = pair_sum(xm, xm2)
-        x_bot = pair_sum(xb, xb2)
+        x_top = pair_sum(xa, 0)
+        x_mid = pair_sum(xm, 1)
+        x_bot = pair_sum(xb, 2)
     else:
         x_top, x_mid, x_bot = xa[0], xm[0], xb[0]
     xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
@@ -381,8 +389,8 @@ def _cm_sq_row(aT):
 
 
 def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
-                       w_img, e_dim, residual, has_pair, has_po,
-                       interpret=False):
+                       w_img, e_dim, residual, n_pair, pair_4d=(),
+                       has_po=False, interpret=False):
     """CHANNELS-MAJOR gate/linear strip program (bias-free only).
 
     Same chain as _dw_kernel's gate mode, but the hidden activations live
@@ -397,9 +405,9 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
     (fp32, smoke-tested on chip), the ±w row taps 128-multiple lane
     slices (hence the w % 128 gate), and the gate halves sublane slices.
 
-    rest layout: (xa2, xm2, xb2 if has_pair, + wpo, bpo if has_po),
-    w1_a, w1_b, 9 x wdT_a (e, 1) fp32, 9 x wdT_b, w2, b2, scale,
-    then out_ref, xn_ref, h1t_ref ((e, n) fp32 scratch)."""
+    rest layout: ((xa2, xm2, xb2) x n_pair, + n_pair wpo matrices and one
+    shared bpo if has_po), w1_a, w1_b, 9 x wdT_a (e, 1) fp32, 9 x wdT_b,
+    w2, b2, scale, then out_ref, xn_ref, h1t_ref ((e, n) fp32 scratch)."""
     idx = 0
 
     def take(k):
@@ -408,9 +416,10 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
         idx += k
         return out
 
-    if has_pair:
-        xa2, xm2, xb2 = take(3)
-        wpo, bpo = take(2) if has_po else (None, None)
+    if n_pair:
+        pairs = [take(3) for _ in range(n_pair)]
+        wpos = take(n_pair) if has_po else None
+        bpo = take(1)[0] if has_po else None
     if mode == "gate":
         w1_a, w1_b = take(2)
         wdT_a = take(9)
@@ -428,20 +437,24 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
     n = sw + 2 * w
     cml_l, cmr_l = _col_wrap_masks_lane(n, w)
 
-    if has_pair:
-        def pair_sum(xr, x2r):
-            a2 = x2r[0]
-            if has_po:
-                a2 = jnp.dot(a2, wpo[0],
-                             preferred_element_type=jnp.float32
-                             ).astype(xm.dtype)
-                a2 = a2 + bpo[:].astype(xm.dtype)
-            return (xr[0].astype(jnp.float32)
-                    + a2.astype(jnp.float32)).astype(xm.dtype)
+    if n_pair:
+        def pair_sum(xr, k):
+            acc = xr[0].astype(jnp.float32)
+            for j in range(n_pair):
+                ref = pairs[j][k]
+                a2 = ref[0, 0] if (pair_4d and pair_4d[j]) else ref[0]
+                if has_po:
+                    a2 = jnp.dot(a2, wpos[j][0],
+                                 preferred_element_type=jnp.float32
+                                 ).astype(xm.dtype)
+                    if j == 0:
+                        a2 = a2 + bpo[:].astype(xm.dtype)
+                acc = acc + a2.astype(jnp.float32)
+            return acc.astype(xm.dtype)
 
-        x_top = pair_sum(xa, xa2)
-        x_mid = pair_sum(xm, xm2)
-        x_bot = pair_sum(xb, xb2)
+        x_top = pair_sum(xa, 0)
+        x_mid = pair_sum(xm, 1)
+        x_bot = pair_sum(xb, 2)
     else:
         x_top, x_mid, x_bot = xa[0], xm[0], xb[0]
     xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
@@ -1019,7 +1032,7 @@ def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _strip_mem(s: int, w: int, c: int, e: int, has_pair: bool = False) -> int:
+def _strip_mem(s: int, w: int, c: int, e: int, n_pair: int = 0) -> int:
     n = (s + 2) * w
     mem = (n * c * 6            # fp32 LN scratch + cast copy
            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
@@ -1027,20 +1040,19 @@ def _strip_mem(s: int, w: int, c: int, e: int, has_pair: bool = False) -> int:
            + 3 * s * w * c * 4  # out accumulator, residual
            + 4 * s * w * c * 2   # double-buffered main/out blocks
            + 2 * n * 512)        # in-kernel (n,1) wrap-mask vregs
-    if has_pair:
-        # x2 streams in as three more blocked inputs (halo above / main /
-        # halo below), double-buffered, plus the po weight matrix
-        mem += 4 * s * w * c * 2 + 8 * w * c * 2 + 2 * c * c * 2
+    # each pair map streams in as three more blocked inputs (halo above /
+    # main / halo below), double-buffered, plus its po weight matrix
+    mem += int(n_pair) * (4 * s * w * c * 2 + 8 * w * c * 2 + 2 * c * c * 2)
     return mem
 
 
 def _pick_strip(h: int, w: int, c: int, e: int,
-                budget: int = _VMEM_BUDGET, has_pair: bool = False) -> int:
+                budget: int = _VMEM_BUDGET, n_pair: int = 0) -> int:
     """Rows per strip (divides h) fitting the VMEM budget; bigger strips
     amortise per-program overhead and give the MXU larger matmuls."""
     best = 0
     for s in range(1, min(h, 32) + 1):
-        if h % s == 0 and _strip_mem(s, w, c, e, has_pair) <= budget:
+        if h % s == 0 and _strip_mem(s, w, c, e, n_pair) <= budget:
             best = s
     return best
 
@@ -1061,11 +1073,12 @@ def _pw_rows_fit(rows: int, c: int, ch: int) -> bool:
 
 
 def ffn_pallas_supported(h: int, w: int, c: int, e_dim: int,
-                         has_dw: bool, has_pair: bool = False) -> bool:
-    """e_dim = per-gate-half hidden width (CH//2 for gate, CH otherwise)."""
+                         has_dw: bool, has_pair=False) -> bool:
+    """e_dim = per-gate-half hidden width (CH//2 for gate, CH otherwise).
+    has_pair: False/True or the NUMBER of pair-input maps."""
     if w % 8 or e_dim % 2:
         return False
-    if has_dw and _pick_strip(h, w, c, e_dim, has_pair=has_pair) == 0:
+    if has_dw and _pick_strip(h, w, c, e_dim, n_pair=int(has_pair)) == 0:
         return False
     if not has_dw and not _pw_rows_fit(h * w, c, e_dim):
         # a large odd row factor can leave the halving loop over budget —
@@ -1321,11 +1334,38 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     E = CH//2 for 'gate' else CH; scale: optional (C,) output scale.
     x2: optional second addend map — the block's attention branch; the
     kernel computes over (x + x2) so the residual sum never hits HBM
-    (dw path only). po_w (C, C) / po_b: optional projection applied to x2
-    in-kernel (the attention project_out), so the projected map never
-    materialises either.
+    (dw path only). po_w (C, C) or (B, C, C) / po_b: optional projection
+    applied to x2 in-kernel (the attention project_out), so the projected
+    map never materialises either.
+    x2 / po_w may also be LISTS of maps / matrices: the kernel sums
+    x + sum_j(x2_j @ po_j) (+ po_b once) — CHM's attention apply arrives
+    this way (per-history-frame value maps with composed attn@W_po
+    matrices), so neither the attention output map, its projection, nor
+    the residual sum ever round-trip HBM. A list entry may be a STACKED
+    (B, M, H, W, C) array — each of its M maps streams through its own
+    block specs indexing the frame dim directly (no per-frame slice copies
+    on the XLA side); po_w stays one matrix per FINAL map, stacked frames
+    flattened in order.
     """
     b, h, w, c = x.shape
+    x2_entries = (list(x2) if isinstance(x2, (list, tuple))
+                  else ([x2] if x2 is not None else []))
+    # flatten to per-map streams: (reshaped array, frame index or None)
+    x2_flat = []
+    for e in x2_entries:
+        if e.ndim == 5:
+            bq, m, hh, wwid, cc = e.shape
+            ef = e.reshape(bq, m, hh * wwid, cc)
+            x2_flat += [(ef, j) for j in range(m)]
+        else:
+            x2_flat.append((e, None))
+    if isinstance(x2, (list, tuple)) or (x2 is not None and x2.ndim == 5):
+        po_ws = list(po_w) if po_w is not None else None
+    else:
+        po_ws = [po_w] if po_w is not None else None
+    n_pair = len(x2_flat)
+    assert po_ws is None or len(po_ws) == n_pair, \
+        "po_w must carry one matrix per (flattened) pair map"
     ch = w1.shape[1]
     halo = wd is not None
     dt = x.dtype
@@ -1344,7 +1384,7 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     xf = x.reshape(b, h * w, c)
 
     if not halo:
-        assert x2 is None, "pair-input fusion is dw-path only"
+        assert n_pair == 0, "pair-input fusion is dw-path only"
         # the gate branch lane-slices the hidden at offset e_dim in-kernel;
         # non-128-multiple lane offsets HANG the Mosaic compiler (module
         # docstring) — refuse loudly instead (no product config hits this:
@@ -1415,7 +1455,7 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         args = a0
 
     s_rows = _pick_strip(h, w, c, e_dim, budget=_VMEM_BUDGET_FFN,
-                         has_pair=x2 is not None)
+                         n_pair=n_pair)
     assert s_rows, "no feasible strip size; use the XLA path"
     sw = s_rows * w
     n = sw + 2 * w
@@ -1424,17 +1464,19 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     args += [w2a, b2a, sc]
 
     grid = (b, h // s_rows)
+    pair_4d_flags = tuple(e.ndim == 5 for e in x2_entries
+                          for _ in range(e.shape[1] if e.ndim == 5 else 1))
     if chan_major:
         kernel = functools.partial(
             _dw_gate_cm_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows,
             w_img=w, e_dim=e_dim, residual=residual,
-            has_pair=x2 is not None, has_po=po_w is not None,
+            n_pair=n_pair, pair_4d=pair_4d_flags, has_po=po_ws is not None,
             interpret=interpret)
     else:
         kernel = functools.partial(
             _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
             e_dim=e_dim, has_b1=has_b1, residual=residual,
-            has_pair=x2 is not None, has_po=po_w is not None)
+            n_pair=n_pair, pair_4d=pair_4d_flags, has_po=po_ws is not None)
     last_row = h - 1
     s_ = s_rows
     halo_specs = [
@@ -1452,22 +1494,49 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     ]
     inputs = [xf, xf, xf, *ln_args]
     in_specs = list(halo_specs) + [vmem(), vmem()]
-    if x2 is not None:
-        x2f = x2.reshape(b, h * w, c)
-        inputs += [x2f, x2f, x2f]
-        in_specs += list(halo_specs)
-        if po_w is not None:
-            # po_w may be (C, C) shared or (B, C, C) per-batch (the fused
-            # channel attention's data-dependent po'); batch-blocked either
-            # way
-            po_w3 = (po_w[None] if po_w.ndim == 2 else po_w).astype(dt)
-            inputs += [po_w3,
-                       (po_b if po_b is not None else jnp.zeros((c,), dt))]
-            po_last = po_w3.shape[0] - 1
-            in_specs += [pl.BlockSpec(
+    pair_4d = []
+    for x2j, frame in x2_flat:
+        if frame is None:
+            x2f = x2j.reshape(b, h * w, c)
+            inputs += [x2f, x2f, x2f]
+            in_specs += list(halo_specs)
+            pair_4d.append(False)
+        else:
+            # stacked (B, M, HW, C) buffer: this map's blocks index the
+            # frame dim directly — the per-frame map is never sliced out
+            inputs += [x2j, x2j, x2j]
+            in_specs += [
+                pl.BlockSpec(
+                    (1, 1, w, c),
+                    lambda b_, i, _j=frame: (b_, _j,
+                                             jnp.maximum(i * s_ - 1, 0), 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, sw, c),
+                    lambda b_, i, _j=frame: (b_, _j, i, 0),
+                    memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, 1, w, c),
+                    lambda b_, i, _j=frame: (b_, _j,
+                                             jnp.minimum(i * s_ + s_,
+                                                         last_row), 0),
+                    memory_space=pltpu.VMEM),
+            ]
+            pair_4d.append(True)
+    if n_pair and po_ws is not None:
+        for pwj in po_ws:
+            # each po may be (C, C) shared or (B, C, C) per-batch (the
+            # fused attention's data-dependent po' matrices);
+            # batch-blocked either way
+            po_w3 = (pwj[None] if pwj.ndim == 2 else pwj).astype(dt)
+            inputs.append(po_w3)
+            in_specs.append(pl.BlockSpec(
                 (1, c, c),
-                lambda b_, i, _l=po_last: (jnp.minimum(b_, _l), 0, 0),
-                memory_space=pltpu.VMEM), vmem()]
+                lambda b_, i, _l=po_w3.shape[0] - 1: (jnp.minimum(b_, _l),
+                                                      0, 0),
+                memory_space=pltpu.VMEM))
+        inputs.append(po_b if po_b is not None else jnp.zeros((c,), dt))
+        in_specs.append(vmem())
     inputs += args
     in_specs += [vmem()] * len(args)
     return pl.pallas_call(

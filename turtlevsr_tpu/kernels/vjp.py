@@ -36,25 +36,40 @@ def _dwconv_xla(h, wd, bd):
 def _ffn_xla(x, p, mode, residual, ln_mode):
     """The jnp reference of fused_block_ffn (see kernels/ffn.py)."""
     if p.get("x2") is not None:
-        x2 = p["x2"]
-        if p.get("po_w") is not None:  # fused attention project_out
-            c = x2.shape[-1]
-            pw = p["po_w"]
-            if pw.ndim == 3:  # per-batch po' (fused channel attention)
-                # fp32 operands: batched bf16 dot_generals crash the CPU
-                # DotThunk (see CLAUDE.md); bf16 products are exact in
-                # fp32, so the result (cast back) is bitwise identical
-                x2 = jnp.einsum("bhwc,bce->bhwe", x2.astype(jnp.float32),
-                                pw.astype(jnp.float32),
-                                preferred_element_type=jnp.float32
-                                ).astype(x2.dtype)
+        entries = (list(p["x2"]) if isinstance(p["x2"], (list, tuple))
+                   else [p["x2"]])
+        # a 5-D entry is a stacked (B, M, H, W, C) frame buffer — flatten
+        # to per-frame maps (matches the kernel's per-frame block streams)
+        x2s = []
+        for e in entries:
+            if e.ndim == 5:
+                x2s += [e[:, j] for j in range(e.shape[1])]
             else:
-                x2 = jnp.dot(x2.reshape(-1, c), pw.astype(x2.dtype),
-                             preferred_element_type=x2.dtype
-                             ).reshape(x2.shape)
-            if p.get("po_b") is not None:
-                x2 = x2 + p["po_b"]
-        x = x + x2  # fused attention-residual add
+                x2s.append(e)
+        pws = p.get("po_w")
+        pws = (list(pws) if isinstance(pws, (list, tuple))
+               else ([pws] if pws is not None else None))
+        for j, x2 in enumerate(x2s):
+            if pws is not None:  # fused attention project_out
+                c = x2.shape[-1]
+                pw = pws[j]
+                if pw.ndim == 3:  # per-batch po' (fused attention)
+                    # fp32 operands: batched bf16 dot_generals crash the
+                    # CPU DotThunk (see CLAUDE.md); bf16 products are
+                    # exact in fp32, so the result (cast back) is bitwise
+                    # identical
+                    x2 = jnp.einsum("bhwc,bce->bhwe",
+                                    x2.astype(jnp.float32),
+                                    pw.astype(jnp.float32),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(x2.dtype)
+                else:
+                    x2 = jnp.dot(x2.reshape(-1, c), pw.astype(x2.dtype),
+                                 preferred_element_type=x2.dtype
+                                 ).reshape(x2.shape)
+                if j == 0 and p.get("po_b") is not None:
+                    x2 = x2 + p["po_b"]
+            x = x + x2  # fused attention-residual add(s)
     xn = _ln_xla(x, p, ln_mode)
     c = x.shape[-1]
     h = jnp.einsum("bhwc,ce->bhwe", xn, p["w1"])

@@ -737,8 +737,44 @@ def _safe_norm(ss):
     return jnp.where(nonzero, n, 0.0)
 
 
+def _chm_stats_ok(params, x, spec, nf: int) -> bool:
+    """Shape/bias gate for the fused CHM-stats kernel path."""
+    if spec is None or spec.kernels != "pallas":
+        return False
+    from turtlevsr_tpu.kernels.ffn import chm_stats_supported
+
+    b, h, w, c = x.shape
+    ca = params["ChanAttn"]
+    bias_free = all(
+        "bias" not in d for d in (params["kv"], params["kv_dwconv"],
+                                  ca["qkv"], ca["qkv_dwconv"]))
+    return bias_free and chm_stats_supported(h, w, c, nf)
+
+
+def chm_av_in_ffn_supported(params, x, spec, slot, e_half: int) -> bool:
+    """Gate for folding CHM's attention apply + project_out into the FFN
+    kernel as nf+1 pair-input maps with composed per-frame attn@W_po
+    matrices (saves ~5 full-map traversals per CHM block: the v/vh reads
+    by the XLA apply einsums, the attention-output write+read, and the
+    project_out pass). Requires the stats kernel (maps already on HBM in
+    the right layout) and a feasible FFN strip with nf+1 pair streams.
+    e_half: the GFFW per-gate-half hidden width."""
+    import os
+
+    if os.environ.get("TURTLE_CHM_IN_FFN", "1") == "0":
+        return False
+    nf = (slot["k"].shape[1] if slot is not None else 0) + 1
+    if not _chm_stats_ok(params, x, spec, nf):
+        return False
+    from turtlevsr_tpu.kernels.ffn import ffn_pallas_supported
+
+    b, h, w, c = x.shape
+    return ffn_pallas_supported(h, w, c, e_half, True, has_pair=nf + 1)
+
+
 def chm_apply(params, x, heads: int, ws: int, variant: str,
-              slot: Optional[dict], ln=None, spec=None, skip_po=False):
+              slot: Optional[dict], ln=None, spec=None, skip_po=False,
+              return_av: bool = False):
     """turtle_arch.py:535-585: aligned = SAB(x, cache); K,V embeddings of all
     aligned frames (frame-major channel tokens); FHR cross-attends the
     current frame over them. The returned cache is SAB's.
@@ -764,14 +800,7 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
     eps = jnp.asarray(1e-12, ad)
     ca = params["ChanAttn"]
 
-    use_stats = False
-    if spec is not None and spec.kernels == "pallas":
-        from turtlevsr_tpu.kernels.ffn import chm_stats_supported
-
-        bias_free = all(
-            "bias" not in d for d in (params["kv"], params["kv_dwconv"],
-                                      ca["qkv"], ca["qkv_dwconv"]))
-        use_stats = bias_free and chm_stats_supported(h, w, c, nf)
+    use_stats = _chm_stats_ok(params, x, spec, nf)
 
     if use_stats:
         # ONE pass over x + the NF aligned maps (kernels/ffn.py
@@ -853,6 +882,35 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
 
     a_h = attn[..., :nf * ctok].reshape(b, heads, ctok, nf, ctok)
     a_c = attn[..., nf * ctok:]
+
+    if return_av:
+        assert use_stats, "return_av requires the stats-kernel path (gate)"
+        # Fold the attention apply + project_out into the consumer FFN
+        # kernel: out2 = sum_n vh_n @ P_n + v @ P_c with
+        #   P_n[(h,d),z] = sum_c' a_h[h,c',n,d] * Wpo[(h,c'),z]
+        #   P_c[(h,d),z] = sum_d' a_c[h,c',d]  * Wpo[(h,c'),z]
+        # — the per-head block-diagonal attention composed with the 1x1
+        # project_out, exactly the channel-attention po' trick extended to
+        # the nf history maps. Caller feeds (maps, P list) to the FFN
+        # kernel's multi pair-input; the attention output map, its
+        # projection and the residual sum never hit HBM. Gated by
+        # chm_av_in_ffn_supported (requires use_stats, so vh_map/v3 exist
+        # on HBM in map layout already). fp32 operands: non-canonical bf16
+        # dots crash the CPU DotThunk (CLAUDE.md).
+        wpoR = ca["project_out"]["weight"][0, 0].astype(ad).reshape(
+            heads, ctok, c)
+        pn = jnp.einsum("bhcnd,hcz->bnhdz", a_h.astype(ad), wpoR,
+                        preferred_element_type=ad)
+        pn = pn.reshape(b, nf, c, c).astype(x.dtype)
+        pc = jnp.einsum("bhcd,hcz->bhdz", a_c.astype(ad), wpoR,
+                        preferred_element_type=ad)
+        pc = pc.reshape(b, c, c).astype(x.dtype)
+        # the stacked vh buffer goes in AS-IS (5-D): the kernel's block
+        # specs index the frame dim directly, no per-frame slice copies
+        maps = [vh_map.reshape(b, nf, h, w, c), v3.reshape(b, h, w, c)]
+        pos = [pn[:, n] for n in range(nf)] + [pc]
+        return (maps, pos, ca["project_out"].get("bias")), new_slot
+
     out = jnp.einsum("bhcnd,bnlhd->blhc", a_h, vh, preferred_element_type=ad)
     out = out + jnp.einsum("bhcd,blhd->blhc", a_c, v,
                            preferred_element_type=ad)
@@ -947,9 +1005,13 @@ def _fused_ffn_half(params, x, spec: BlockSpec, x2=None, po=None):
     if spec.ffw_type == "GFFW":
         hid = p["project_in"]["weight"].shape[-1]
         po_w = None
-        if po is not None:  # conv params (1,1,C,C) or a precomputed matrix
-            po_w = (po["weight"].reshape(c, c)
-                    if po["weight"].ndim == 4 else po["weight"])
+        if po is not None:  # conv params (1,1,C,C), a precomputed matrix,
+            # or a LIST of per-map matrices (CHM's composed attn@W_po)
+            pw = po["weight"]
+            if isinstance(pw, (list, tuple)):
+                po_w = list(pw)
+            else:
+                po_w = pw.reshape(c, c) if pw.ndim == 4 else pw
         return fused_block_ffn(
             x, x2=x2,
             po_w=po_w,
@@ -1040,6 +1102,20 @@ def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
             a, new_slot = fhr_apply(params["attn"], x, spec.num_heads, slot,
                                     ln=ln, spec=spec, skip_po=skip_po)
         elif t == "CHM":
+            if fused and spec.ffw_type == "GFFW" and chm_av_in_ffn_supported(
+                    params["attn"], x, spec, slot,
+                    params["ffn"]["project_in"]["weight"].shape[-1] // 2):
+                # CHM attention apply + project_out fold into the FFN
+                # kernel as nf+1 pair maps with composed attn@W_po
+                # matrices (see chm_apply return_av)
+                (maps, pos, pob), new_slot = chm_apply(
+                    params["attn"], x, spec.num_heads, spec.window_size,
+                    spec.variant, slot, ln=ln, spec=spec, return_av=True)
+                po = {"weight": pos}
+                if pob is not None:
+                    po["bias"] = pob
+                return _fused_ffn_half(params, x, spec, x2=maps,
+                                       po=po), new_slot
             a, new_slot = chm_apply(params["attn"], x, spec.num_heads,
                                     spec.window_size, spec.variant, slot,
                                     ln=ln, spec=spec, skip_po=skip_po)
