@@ -25,8 +25,8 @@ def _env_overrides() -> dict:
     into written artifacts so a forced A/B run can't masquerade as the
     default configuration."""
     return {k: os.environ[k]
-            for k in ("TURTLE_CHAN_MAJOR", "TURTLE_KERNEL_VMEM_MB",
-                      "TURTLE_CHM_IN_FFN")
+            for k in ("TURTLE_CHAN_MAJOR", "TURTLE_CHAN_MAJOR_NEW",
+                      "TURTLE_KERNEL_VMEM_MB", "TURTLE_CHM_IN_FFN")
             if k in os.environ}
 
 

@@ -242,16 +242,21 @@ def _col_wrap_masks_lane(n: int, w: int):
             (col != w - 1).astype(jnp.float32))
 
 
-def _chan_major_ok(e_dim: int, w: int, has_b1: bool) -> bool:
+def _chan_major_ok(e_dim: int, w: int, has_b1: bool,
+                   new_site: bool = False) -> bool:
     """The channels-major hidden layout wins when the hidden width pads
     badly on the lane dim (>= 1.5x, i.e. e in {64, 160, ...}) and the ±w
     row taps stay 128-aligned lane slices. Bias-free chains only (the
     shipped configs). TURTLE_CHAN_MAJOR=0 forces the token-major layout
     everywhere (A/B measurement knob); =1 forces channels-major wherever
-    it is legal (bias-free, w % 128)."""
+    it is legal (bias-free, w % 128). TURTLE_CHAN_MAJOR_NEW=0 reverts only
+    the split-proj/linear-projection sites (new_site=True) that landed
+    after the 5.32 fps measurement — finer A/B isolation."""
     legal = (not has_b1) and w % 128 == 0
     force = _os.environ.get("TURTLE_CHAN_MAJOR")
     if force == "0":
+        return False
+    if new_site and _os.environ.get("TURTLE_CHAN_MAJOR_NEW") == "0":
         return False
     if force == "1":
         return legal
@@ -1267,7 +1272,7 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
 
     has_b1 = any(p.get("b1") is not None or p.get("bd") is not None
                  for p in projs)
-    chan_major = _chan_major_ok(e_dim, w, has_b1)
+    chan_major = _chan_major_ok(e_dim, w, has_b1, new_site=True)
 
     args = []
     for p in projs:
@@ -1439,7 +1444,8 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     # ms — the lane-roll/layout overhead eats a 1.2x saving, hence the
     # >= 1.5x pad-ratio gate in _chan_major_ok.
     chan_major = (mode in ("gate", "linear")
-                  and _chan_major_ok(e_dim, w, has_b1))
+                  and _chan_major_ok(e_dim, w, has_b1,
+                                     new_site=(mode == "linear")))
 
     a0 = half_args(0)
     wdT = lambda lo: [wd9[k, lo:lo + e_dim][:, None]  # noqa: E731
