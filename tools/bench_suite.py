@@ -28,7 +28,7 @@ import numpy as np
 
 
 def bench_engine(cfg, params, frames, mode, tile, overlap, dtype, iters,
-                 max_tile_batch=12):
+                 max_tile_batch=15):
     from turtlevsr_tpu.eval.engine import InferenceEngine
 
     eng = InferenceEngine(cfg, params, mode=mode, tile=tile,
@@ -69,7 +69,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=12)
     ap.add_argument("--kernels", default="pallas")
-    ap.add_argument("--max_tile_batch", type=int, default=12,
+    ap.add_argument("--max_tile_batch", type=int, default=15,
                     help="tile chunk size for the tiled protocols")
     ap.add_argument("--skip", default="",
                     help="comma-separated metric substrings to skip")

@@ -763,8 +763,8 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
     return v_map.reshape(b, h, w, e_dim), g, stats
 
 
-def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
-                      s_rows, w_img, e_dim, n_frames, chan_major=False,
+def _chm_stats_kernel(xa, xm, xb, *rest, ln_mode, s_rows, w_img, e_dim,
+                      n_frames, chan_major=False, per_frame=False,
                       interpret=False):
     """CausalHistoryModel front (turtle_arch.py:535-585), one pass: the
     FHR q/k/v chains over LN(x) AND the kv embedding chains over every
@@ -774,7 +774,9 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
     consumes: g = q^T k, gh[n] = q^T kh_n, and the squared-norm rows for
     q, k and each kh_n. Bias-free configs only (the shipped ones).
 
-    rest: q/k/v (w1, wd9) x3, kv (w1_k, wd9_k, w1_v, wd9_v) shared across
+    rest: the aligned-frame input refs (ONE stacked halo/main/halo triple
+    indexed [0, nn], or — per_frame=True — nf separate triples), ln_w/ln_b,
+    q/k/v (w1, wd9) x3, kv (w1_k, wd9_k, w1_v, wd9_v) shared across
     frames, then v_ref (blocked), vh_ref (blocked, per-frame
     leading dim), g_ref (1, e, e), gh_ref (1, nf, e, e), s_ref
     (1, nf + 2, 8, e) (row 0 of [idx] = sum sq: idx 0 = q, 1 = k,
@@ -786,6 +788,18 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         out = rest[idx: idx + k]
         idx += k
         return out
+
+    if per_frame:
+        fr = take(3 * n_frames)
+    else:
+        xsa, xsm, xsb = take(3)
+    ln_w, ln_b = take(2)
+
+    def frame_rows(nn):
+        # loads happen here, once per frame iteration (not all upfront)
+        if per_frame:
+            return fr[3 * nn][0], fr[3 * nn + 1][0], fr[3 * nn + 2][0]
+        return xsa[0, nn], xsm[0, nn], xsb[0, nn]
 
     if chan_major:
         (w1_q, w1_k, w1_v, w1_hk, w1_hv) = take(5)
@@ -860,7 +874,7 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
         s_ref[0, 0, 0:1, :] = s_ref[0, 0, 0:1, :] + _cm_sq_row(qT)
         s_ref[0, 1, 0:1, :] = s_ref[0, 1, 0:1, :] + _cm_sq_row(kT)
         for nn in range(n_frames):
-            fill(xsa[0, nn], xsm[0, nn], xsb[0, nn], False)
+            fill(*frame_rows(nn), False)
             khT = chain_cm(w1_hk, wdT_hk).astype(cdt)
             vh_ref[0, nn] = _cm_to_rows(chain_cm(w1_hv, wdT_hv)
                                         ).astype(vh_ref.dtype)
@@ -880,7 +894,7 @@ def _chm_stats_kernel(xa, xm, xb, xsa, xsm, xsb, ln_w, ln_b, *rest, ln_mode,
 
     # kv embedding of each aligned frame (no LN)
     for nn in range(n_frames):
-        fill(xsa[0, nn], xsm[0, nn], xsb[0, nn], False)
+        fill(*frame_rows(nn), False)
         kh = chain(w1_hk, wd9_hk).astype(cdt)
         vh_ref[0, nn] = chain(w1_hv, wd9_hv).astype(vh_ref.dtype)
         gh_ref[0, nn] = gh_ref[0, nn] + gram(q, kh)
@@ -914,12 +928,15 @@ def chm_stats_supported(h: int, w: int, c: int, nf: int) -> bool:
 def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
                     interpret: bool = False):
     """x: (B, H, W, C) current frame; x_sp: (B, NF, H, W, C) SAB-aligned
-    frames. qkv: 3 dicts {w1 (C, C), wd (3, 3, C)} (the ChanAttn q/k/v
+    frames, OR a list of NF (B, H, W, C) maps (per-frame streams — the
+    stacked copy never materialises; each frame gets its own halo/main/halo
+    block specs). qkv: 3 dicts {w1 (C, C), wd (3, 3, C)} (the ChanAttn q/k/v
     thirds); kv: 2 dicts (the kv embedding halves, shared across frames).
     Bias-free only. Returns (v (B,H,W,C), vh (B,NF,H,W,C), g (B,C,C) fp32,
     gh (B,NF,C,C) fp32, s (B,NF+2,8,C) fp32 norm rows)."""
     b, h, w, c = x.shape
-    nf = x_sp.shape[1]
+    per_frame = isinstance(x_sp, (list, tuple))
+    nf = len(x_sp) if per_frame else x_sp.shape[1]
     e_dim = c
     dt = x.dtype
     zeros = functools.partial(jnp.zeros, dtype=dt)
@@ -953,11 +970,10 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
     kernel = functools.partial(
         _chm_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
         e_dim=e_dim, n_frames=nf, chan_major=chan_major,
-        interpret=interpret)
+        per_frame=per_frame, interpret=interpret)
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, c)
-    xsf = x_sp.reshape(b, nf, h * w, c)
     hspec = [
         pl.BlockSpec((1, w, c),
                      lambda b_, i: (b_, jnp.maximum(i * s_ - 1, 0), 0),
@@ -969,17 +985,29 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
                                     0),
                      memory_space=pltpu.VMEM),
     ]
-    hspec_s = [
-        pl.BlockSpec((1, nf, w, c),
-                     lambda b_, i: (b_, 0, jnp.maximum(i * s_ - 1, 0), 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nf, sw, c), lambda b_, i: (b_, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nf, w, c),
-                     lambda b_, i: (b_, 0,
-                                    jnp.minimum(i * s_ + s_, last_row), 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    if per_frame:
+        # one halo/main/halo triple per frame, same clamped index maps as
+        # the current-frame specs (the known-good blocked-row pattern)
+        xs_ops = []
+        for f in x_sp:
+            xs_ops += [f.reshape(b, h * w, c)] * 3
+        hspec_s = hspec * nf
+    else:
+        xsf = x_sp.reshape(b, nf, h * w, c)
+        xs_ops = [xsf, xsf, xsf]
+        hspec_s = [
+            pl.BlockSpec((1, nf, w, c),
+                         lambda b_, i: (b_, 0, jnp.maximum(i * s_ - 1, 0),
+                                        0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf, sw, c), lambda b_, i: (b_, 0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nf, w, c),
+                         lambda b_, i: (b_, 0,
+                                        jnp.minimum(i * s_ + s_, last_row),
+                                        0),
+                         memory_space=pltpu.VMEM),
+        ]
     v, vh, g, gh, stats = pl.pallas_call(
         kernel,
         grid=(b, h // s_rows),
@@ -1012,7 +1040,7 @@ def fused_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
             vmem_limit_bytes=_VMEM_LIMIT,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(xf, xf, xf, xsf, xsf, xsf, *ln_args, *args)
+    )(xf, xf, xf, *xs_ops, *ln_args, *args)
     return (v.reshape(b, h, w, e_dim), vh.reshape(b, nf, h, w, e_dim),
             g, gh, stats)
 

@@ -248,6 +248,8 @@ def call_qkv_stats(x, projs, *, ln_w=None, ln_b=None, interpret=False):
 
 def _chm_stats_xla(x, x_sp, p, ln_mode):
     """XLA reference of fused_chm_stats (turtle_arch.py:535-585 front)."""
+    if isinstance(x_sp, (list, tuple)):  # per-frame streams: stack is exact
+        x_sp = jnp.stack(x_sp, axis=1)
     q, k, v = _split_proj_xla(x, {"projs": p["qkv"],
                                   **{kk: p[kk] for kk in ("ln_w", "ln_b")
                                      if kk in p}}, ln_mode)

@@ -13,6 +13,7 @@ reproduced deliberately; each is flagged inline.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
 from typing import Optional
 
@@ -491,13 +492,21 @@ def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int,
 
 
 def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
-                 spec=None, pre=None):
+                 spec=None, pre=None, per_frame=False):
     """t1 semantics (the LAST forward def wins — turtle_t1_arch.py:548-610):
     q,k re-projected through stride-ws depthwise convs into per-window tokens
     of dim 2c; v is lattice-windowed raw; sparsity = top-5 + L1<=4 local mask
     combined as attn1 + attn2 then clipped_softmax; attention output USED.
 
     Returns (aligned frames (B, NF, h, w, c), frame_valid (NF,), new_slot).
+
+    per_frame=True (request; honoured only for the bias-free pre-projected
+    configs) returns the aligned frames as a LIST of NF (B, h, w, c) maps
+    instead: the @v contraction runs as per-frame dots on zero-copy ring
+    slices, fvalid folds into each dot's output (XLA fuses the scalar mul),
+    and the (B, NF, HW, ws*ws*c) v_all concat + stacked out_tok + stacked
+    mask pass never materialise (~1.2 GB HBM/frame at 720p). Exact: the
+    merge is a permutation and the dots are the batched einsum's slices.
     """
     b, h, w, c = x.shape
     # project_out is a bias-free 1x1 in the shipped configs, so it commutes
@@ -564,15 +573,24 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     k = l2_normalize(k2.reshape(b, hq * wq, 2 * c), axis=-1)
     v = _lattice_split(v_map, ws, spec=spec)  # (B, HW, ws*ws*c)
 
+    take_pf = per_frame and pre_project
     if slot is not None:
         n_frames = slot["k"].shape[1]
         k_all = jnp.concatenate([slot["k"].astype(k.dtype), k[:, None]], axis=1)
-        v_all = jnp.concatenate([slot["v"].astype(v.dtype), v[:, None]], axis=1)
+        # per-frame mode reads the ring slices directly in the @v dots —
+        # the (B, NF, HW, ws*ws*c) concat copy never exists
+        v_frames = ([slot["v"][:, i].astype(v.dtype) for i in range(n_frames)]
+                    + [v]) if take_pf else None
+        v_all = (None if take_pf else
+                 jnp.concatenate([slot["v"].astype(v.dtype), v[:, None]],
+                                 axis=1))
         fvalid = jnp.concatenate(
             [frame_valid_mask(slot["n"], n_frames), jnp.ones((1,), bool)])
         new_slot = sab_slot_append(slot, k, v)
     else:
-        k_all, v_all = k[:, None], v[:, None]
+        k_all = k[:, None]
+        v_frames = [v] if take_pf else None
+        v_all = None if take_pf else v[:, None]
         fvalid = jnp.ones((1,), bool)
         new_slot = None
 
@@ -599,6 +617,20 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         attn1 = topk_keep(attn, 5)
         attn2 = attn * lm[None, None]
         a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
+
+    if take_pf:
+        # per-frame @v: one dot per frame over the zero-copy ring slice;
+        # fvalid folds into the dot output (fused scalar mul — zeroed
+        # invalid frames commute with the projected-v merge permutation)
+        fv = fvalid.astype(ad)
+        maps = []
+        for i in range(len(v_frames)):
+            vi = v_frames[i]
+            ti = jnp.einsum("bqk,bkd->bqd", a[:, i].astype(vi.dtype), vi,
+                            preferred_element_type=ad)
+            ti = (ti * fv[i]).astype(x.dtype)
+            maps.append(_lattice_merge(ti, ws, h, w, spec=spec))
+        return maps, fvalid, new_slot
 
     nf = v_all.shape[1]
     dv = v_all.shape[-1]
@@ -791,16 +823,26 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
     # was tried and measured SLOWER (the larger hidden width shrinks the
     # kernel's row strips); separate calls win
     sab_pre = qkv_pre = None
-    sab = sab_t0_apply if variant == "t0" else sab_t1_apply
-    x_sp, fvalid, new_slot = sab(params["spatial_aligner"], x, ws, slot,
-                                 ln=ln, spec=spec, pre=sab_pre)
-    nf = x_sp.shape[1]
+    nf_pre = (slot["k"].shape[1] if slot is not None else 0) + 1
+    use_stats = _chm_stats_ok(params, x, spec, nf_pre)
+    if variant == "t0":
+        x_sp, fvalid, new_slot = sab_t0_apply(
+            params["spatial_aligner"], x, ws, slot, ln=ln, spec=spec,
+            pre=sab_pre)
+    else:
+        # the stats kernel streams the aligned frames with frame-indexed
+        # block specs, so it can take them as a per-frame LIST: request
+        # SAB's per-frame mode (no v_all concat / stacked-maps copies)
+        pf = use_stats and _os.environ.get("TURTLE_SAB_PERFRAME", "1") != "0"
+        x_sp, fvalid, new_slot = sab_t1_apply(
+            params["spatial_aligner"], x, ws, slot, ln=ln, spec=spec,
+            pre=sab_pre, per_frame=pf)
+    nf = len(x_sp) if isinstance(x_sp, (list, tuple)) else x_sp.shape[1]
+    assert nf == nf_pre
 
     ad = acc_dtype(x.dtype)
     eps = jnp.asarray(1e-12, ad)
     ca = params["ChanAttn"]
-
-    use_stats = _chm_stats_ok(params, x, spec, nf)
 
     if use_stats:
         # ONE pass over x + the NF aligned maps (kernels/ffn.py
