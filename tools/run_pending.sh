@@ -37,6 +37,15 @@ TURTLE_CHAN_MAJOR=0 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG"
 echo "--- [2b] bench.py TURTLE_CHM_IN_FFN=0" | tee -a "$LOG"
 TURTLE_CHM_IN_FFN=0 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_chmffn0.json
 
+# 2c. per-frame SAB value-stream refactor A/B (landed at 9d904c0 after this
+#     queue was written; defaults ON — isolate its contribution)
+echo "--- [2c] bench.py TURTLE_SAB_PERFRAME=0" | tee -a "$LOG"
+TURTLE_SAB_PERFRAME=0 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_perframe0.json
+
+# 2d. post-5.32 channels-major call sites only (site-scoped knob)
+echo "--- [2d] bench.py TURTLE_CHAN_MAJOR_NEW=0" | tee -a "$LOG"
+TURTLE_CHAN_MAJOR_NEW=0 timeout -k 10 1800 python bench.py 2>>"$LOG" | tee -a "$LOG" | tail -1 > /tmp/bench_cmnew0.json
+
 # 3. tiled-protocol chunking A/B: max_tile_batch 15 vs the default 12 (45 = 3x15)
 echo "--- [3] bench_suite tiled @ max_tile_batch 15" | tee -a "$LOG"
 timeout -k 10 2400 python tools/bench_suite.py --iters 12 --max_tile_batch 15 \
