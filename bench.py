@@ -160,7 +160,8 @@ def main():
     # forced A/B run can never masquerade as the default configuration
     env_overrides = {k: os.environ[k]
                      for k in ("TURTLE_CHAN_MAJOR", "TURTLE_CHAN_MAJOR_NEW",
-                      "TURTLE_KERNEL_VMEM_MB", "TURTLE_CHM_IN_FFN")
+                      "TURTLE_KERNEL_VMEM_MB", "TURTLE_CHM_IN_FFN",
+                      "TURTLE_SAB_PERFRAME")
                      if k in os.environ}
     if env_overrides:
         line["env_overrides"] = env_overrides

@@ -26,7 +26,8 @@ def _env_overrides() -> dict:
     default configuration."""
     return {k: os.environ[k]
             for k in ("TURTLE_CHAN_MAJOR", "TURTLE_CHAN_MAJOR_NEW",
-                      "TURTLE_KERNEL_VMEM_MB", "TURTLE_CHM_IN_FFN")
+                      "TURTLE_KERNEL_VMEM_MB", "TURTLE_CHM_IN_FFN",
+                      "TURTLE_SAB_PERFRAME")
             if k in os.environ}
 
 
