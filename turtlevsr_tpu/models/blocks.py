@@ -831,9 +831,12 @@ def chm_apply(params, x, heads: int, ws: int, variant: str,
             pre=sab_pre)
     else:
         # the stats kernel streams the aligned frames with frame-indexed
-        # block specs, so it can take them as a per-frame LIST: request
-        # SAB's per-frame mode (no v_all concat / stacked-maps copies)
-        pf = use_stats and _os.environ.get("TURTLE_SAB_PERFRAME", "1") != "0"
+        # block specs, so it can take them as a per-frame LIST: SAB's
+        # per-frame mode (no v_all concat / stacked-maps copies). Ledger
+        # win but measured ~1.2 ms SLOWER on chip (2026-08-19 A/B:
+        # 5.213 on vs 5.245 off — the concat traffic wasn't binding);
+        # default OFF, TURTLE_SAB_PERFRAME=1 re-enables for A/B.
+        pf = use_stats and _os.environ.get("TURTLE_SAB_PERFRAME", "0") == "1"
         x_sp, fvalid, new_slot = sab_t1_apply(
             params["spatial_aligner"], x, ws, slot, ln=ln, spec=spec,
             pre=sab_pre, per_frame=pf)
