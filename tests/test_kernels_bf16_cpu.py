@@ -91,7 +91,7 @@ def test_cm_matches_pixels_major_bf16():
     got_cm = ffn.fused_block_ffn(x, **kw)
 
     orig = ffn._chan_major_ok
-    ffn._chan_major_ok = lambda *a: False
+    ffn._chan_major_ok = lambda *a, **k: False
     try:
         got_pm = ffn.fused_block_ffn(x, **kw)
     finally:
@@ -138,7 +138,7 @@ def test_bf16_grads_cpu():
 
     def loss_sab(q_):
         a = sab_attn_probs_op(q_, kt, lm, jnp.asarray(1.0, jnp.float32),
-                              True)
+                              jnp.ones((1,), jnp.float32), True)
         return jnp.sum(a.astype(jnp.float32))
 
     g = jax.grad(loss_sab)(q)

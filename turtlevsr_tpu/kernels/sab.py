@@ -63,12 +63,16 @@ def _kernel(s_ref, m_ref, out_ref, *, k_top: int):
     out_ref[0] = _sparse_softmax_rows(s, m, k_top).astype(out_ref.dtype)
 
 
-def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, out_ref, *, k_top: int,
-                   round_dtype):
+def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, fv_ref, out_ref, *,
+                   k_top: int, round_dtype):
     """Fused scores + top-k + local-mask + clipped softmax for one q chunk
     of one (batch, frame): s = (q @ k^T) * temperature on the MXU, then the
     sparse-softmax chain of _kernel — the (NF, HW, HW) fp32 score tensor
-    never exists in HBM (the XLA chain writes + rereads it twice)."""
+    never exists in HBM (the XLA chain writes + rereads it twice). The
+    per-frame validity scalar multiplies the probabilities in-kernel
+    (free VPU op): invalid ring frames emit all-zero attention rows, so
+    their @v output maps are exactly zero and the downstream full-map
+    fvalid multiply (turtle_t1_arch.py:607 zeroing) can be skipped."""
     s = jax.lax.dot_general(
         q_ref[0], kt_ref[0, 0],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -78,13 +82,16 @@ def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, out_ref, *, k_top: int,
     # before the sparse softmax (sab_t1_apply: attn.astype(x.dtype))
     s = s.astype(round_dtype).astype(jnp.float32)
     m = m_ref[0].astype(jnp.float32)
-    out_ref[0] = _sparse_softmax_rows(s, m, k_top).astype(out_ref.dtype)
+    probs = _sparse_softmax_rows(s, m, k_top) * fv_ref[0, 0]
+    out_ref[0] = probs.astype(out_ref.dtype)
 
 
-def sab_fused_attn_probs(q, kt, local_mask, temp, k_top: int = 5,
-                         interpret: bool = False):
+def sab_fused_attn_probs(q, kt, local_mask, temp, fvalid=None,
+                         k_top: int = 5, interpret: bool = False):
     """q: (B, HWq, D); kt: (B, NF, D, HWk) (keys pre-transposed, both
-    l2-normalised); local_mask: (HWq, HWk); temp: () temperature. Returns
+    l2-normalised); local_mask: (HWq, HWk); temp: () temperature;
+    fvalid: optional (NF,) per-frame validity — folded into the
+    probabilities in-kernel (invalid frames get all-zero rows). Returns
     (B, NF, HWq, HWk) attention probabilities in q.dtype with the
     reference's top-k + local + clipped-softmax semantics
     (turtle_t1_arch.py:588-596)."""
@@ -93,6 +100,10 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, k_top: int = 5,
     r = _pick_rows(hwq, hwk)
     grid = (b * nf, hwq // r)
     temp2 = jnp.asarray(temp, jnp.float32).reshape(1, 1)
+    if fvalid is None:
+        fv = jnp.ones((1, nf), jnp.float32)
+    else:
+        fv = jnp.asarray(fvalid, jnp.float32).reshape(1, nf)
     return pl.pallas_call(
         functools.partial(_scores_kernel, k_top=k_top, round_dtype=q.dtype),
         grid=grid,
@@ -106,6 +117,8 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, k_top: int = 5,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda bn, i: (0, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda bn, i, nf=nf: (0, bn % nf),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, r, hwk), lambda bn, i: (bn, i, 0),
                                memory_space=pltpu.VMEM),
@@ -114,7 +127,7 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, k_top: int = 5,
             vmem_limit_bytes=_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(q, kt, local_mask[None], temp2).reshape(b, nf, hwq, hwk)
+    )(q, kt, local_mask[None], temp2, fv).reshape(b, nf, hwq, hwk)
 
 
 def _av_kernel(a_ref, v_ref, out_ref):

@@ -347,14 +347,15 @@ def _conv3_bwd(interpret, res, g):
 conv3_op.defvjp(_conv3_fwd, _conv3_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def sab_attn_probs_op(q, kt, local_mask, temp, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def sab_attn_probs_op(q, kt, local_mask, temp, fvalid, interpret=False):
     from turtlevsr_tpu.kernels.sab import sab_fused_attn_probs
 
-    return sab_fused_attn_probs(q, kt, local_mask, temp, interpret=interpret)
+    return sab_fused_attn_probs(q, kt, local_mask, temp, fvalid,
+                                interpret=interpret)
 
 
-def _sab_attn_probs_xla(q, kt, local_mask, temp):
+def _sab_attn_probs_xla(q, kt, local_mask, temp, fvalid):
     from turtlevsr_tpu.ops.attn_utils import clipped_softmax, topk_keep
 
     # fp32 operands for the CPU DotThunk (see _qkv_stats_xla)
@@ -362,18 +363,20 @@ def _sab_attn_probs_xla(q, kt, local_mask, temp):
                         kt.astype(jnp.float32),
                         preferred_element_type=jnp.float32)
     scores = (scores * temp).astype(q.dtype)
-    return clipped_softmax(topk_keep(scores, 5)
-                           + scores * local_mask[None, None])
+    probs = clipped_softmax(topk_keep(scores, 5)
+                            + scores * local_mask[None, None])
+    # the kernel folds the per-frame validity into the probabilities
+    return probs * fvalid.astype(probs.dtype)[None, :, None, None]
 
 
-def _sab_attn_probs_fwd(q, kt, local_mask, temp, interpret):
-    return (sab_attn_probs_op(q, kt, local_mask, temp, interpret),
-            (q, kt, local_mask, temp))
+def _sab_attn_probs_fwd(q, kt, local_mask, temp, fvalid, interpret):
+    return (sab_attn_probs_op(q, kt, local_mask, temp, fvalid, interpret),
+            (q, kt, local_mask, temp, fvalid))
 
 
 def _sab_attn_probs_bwd(interpret, res, g):
-    q, kt, local_mask, temp = res
-    _, vjp = jax.vjp(_sab_attn_probs_xla, q, kt, local_mask, temp)
+    q, kt, local_mask, temp, fvalid = res
+    _, vjp = jax.vjp(_sab_attn_probs_xla, q, kt, local_mask, temp, fvalid)
     return vjp(g)
 
 

@@ -478,9 +478,13 @@ def sab_init(key, dim: int, bias: bool, window_size: int,
 
 
 def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int,
-                projected: bool = False, spec=None):
+                projected: bool = False, spec=None, masked: bool = False):
     """Un-lattice each aligned frame, project (unless the v tokens were
-    pre-projected), zero invalid frames."""
+    pre-projected), zero invalid frames. ``masked=True`` means the
+    validity zeroing already happened upstream (the fused softmax kernel
+    folds fvalid into the attention rows, so invalid frames' @v outputs
+    are exactly zero) — legal only when no post-merge bias can un-zero
+    them (the pre-projected, bias-free configs)."""
     b, nf, hw, d = out_tok.shape
     maps = _lattice_merge(out_tok.reshape(b * nf, hw, d), ws, h, w,
                           spec=spec)
@@ -488,6 +492,8 @@ def _sab_finish(params, out_tok, fvalid, ws: int, h: int, w: int,
         maps = _conv(params["project_out"], maps)
     c = maps.shape[-1]
     maps = maps.reshape(b, nf, h, w, c)
+    if masked:
+        return maps
     return maps * fvalid.astype(maps.dtype)[None, :, None, None, None]
 
 
@@ -609,7 +615,8 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         from turtlevsr_tpu.kernels.vjp import sab_attn_probs_op
 
         kt = k_all.transpose(0, 1, 3, 2)  # (B, NF, D, HW)
-        a = sab_attn_probs_op(q, kt, lm, temp, _pallas_interpret())
+        a = sab_attn_probs_op(q, kt, lm, temp, fvalid.astype(jnp.float32),
+                              _pallas_interpret())
     else:
         attn = jnp.einsum("bqd,bnkd->bnqk", q, k_all,
                           preferred_element_type=ad) * temp
@@ -663,7 +670,9 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     out_tok = jnp.einsum("bnqk,bnkd->bnqd", a.astype(v_all.dtype), v_all,
                          preferred_element_type=ad).astype(x.dtype)
     return (_sab_finish(params, out_tok, fvalid, ws, h, w,
-                        projected=pre_project, spec=spec), fvalid, new_slot)
+                        projected=pre_project, spec=spec,
+                        masked=use_fused and pre_project),
+            fvalid, new_slot)
 
 
 def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
