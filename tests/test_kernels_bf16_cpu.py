@@ -101,6 +101,35 @@ def test_cm_matches_pixels_major_bf16():
                                rtol=0, atol=1e-2)
 
 
+def test_cm_biased_gelu_matches_pixels_major():
+    """Channels-major with BIASES (the ReducedAttn conv1/conv2/conv3
+    chain: gelu mode, e=160 at c=64) vs the pixels-major kernel's
+    inclusion-exclusion bias reconstruction — the direct bias-column +
+    halo-re-zero scheme must agree within fp32-accumulation noise."""
+    from turtlevsr_tpu.kernels import ffn
+
+    e = 160
+    for mode, w1w, w2e in (("gelu", e, e), ("gate", 2 * e, e)):
+        kw = dict(ln_w=_arr(C), ln_b=_arr(C),
+                  w1=_arr(C, w1w), b1=_arr(w1w),
+                  wd=_arr(3, 3, w1w), bd=_arr(w1w),
+                  w2=_arr(w2e, C), b2=_arr(C), scale=_arr(C),
+                  mode=mode, residual=True, interpret=True)
+        x = _arr(1, H, W, C)
+        assert ffn._chan_major_ok(e, W, False)
+        got_cm = ffn.fused_block_ffn(x, **kw)
+
+        orig = ffn._chan_major_ok
+        ffn._chan_major_ok = lambda *a, **k: False
+        try:
+            got_pm = ffn.fused_block_ffn(x, **kw)
+        finally:
+            ffn._chan_major_ok = orig
+        np.testing.assert_allclose(np.asarray(got_cm, np.float32),
+                                   np.asarray(got_pm, np.float32),
+                                   rtol=0, atol=1e-2, err_msg=mode)
+
+
 def test_bf16_grads_cpu():
     """jax.grad through the differentiable wrappers at bf16 on CPU — the
     backward XLA references are fp32-pre-cast per the CLAUDE.md bf16-dot

@@ -246,12 +246,15 @@ def _chan_major_ok(e_dim: int, w: int, has_b1: bool,
                    new_site: bool = False) -> bool:
     """The channels-major hidden layout wins when the hidden width pads
     badly on the lane dim (>= 1.5x, i.e. e in {64, 160, ...}) and the ±w
-    row taps stay 128-aligned lane slices. Bias-free chains only (the
-    shipped configs). TURTLE_CHAN_MAJOR=0 forces the token-major layout
+    row taps stay 128-aligned lane slices. has_b1 gates OFF the callers
+    whose cm kernels don't carry bias columns (multi_dw / qkv_stats /
+    chm_stats); fused_block_ffn's _dw_gate_cm_kernel supports biases
+    directly (see _cm_chain) and passes has_b1=False.
+    TURTLE_CHAN_MAJOR=0 forces the token-major layout
     everywhere (A/B measurement knob); =1 forces channels-major wherever
-    it is legal (bias-free, w % 128). TURTLE_CHAN_MAJOR_NEW=0 reverts only
-    the split-proj/linear-projection sites (new_site=True) that landed
-    after the 5.32 fps measurement — finer A/B isolation."""
+    it is legal (bias support, w % 128). TURTLE_CHAN_MAJOR_NEW=0 reverts
+    only the sites (new_site=True) that landed after the 5.32 fps
+    measurement — finer A/B isolation."""
     legal = (not has_b1) and w % 128 == 0
     force = _os.environ.get("TURTLE_CHAN_MAJOR")
     if force == "0":
@@ -277,15 +280,29 @@ def _dg_f32(a, b, dims, interpret: bool):
 
 
 def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
-              interpret=False):
+              interpret=False, b1_col=None, bd_col=None, f0=None, fl=None):
     """CHANNELS-MAJOR pw1 + dw3x3 chain: the hidden activations live
     transposed (e, rows) so a badly-lane-padding e (64 -> 128, 160 -> 256)
     rides SUBLANES (granularity 8, zero waste) through the VPU-bound tap
     arithmetic. h^T = w1^T @ xn^T comes straight out of dot_general
     dimension numbers (no transpose op); ±1 column taps are fp32 LANE
     rolls, ±w row taps 128-multiple lane slices. wdTh: 9 (e, 1) fp32 tap
-    refs. Returns the fp32 (e, sw) accumulator."""
+    refs. Returns the fp32 (e, sw) accumulator.
+
+    Biases need NO inclusion-exclusion machinery here (unlike
+    _tm_bias_map): the pw1 bias adds to the hidden scratch as an (e, 1)
+    sublane-column broadcast, the clamped top/bottom halo row bands are
+    re-zeroed (128-multiple lane slices — the reference zero-pads AFTER
+    pw1+bias, turtle_arch.py:170-172), and the existing roll wrap masks
+    already zero the out-of-image column taps bias-and-all. The dw bias
+    is one (e, 1) broadcast add on the accumulator."""
     h1t_ref[:] = _dg_f32(w1h[:], xn_cdt, ((0,), (1,)), interpret)
+    if b1_col is not None:
+        h1t_ref[:] = h1t_ref[:] + b1_col[:].astype(jnp.float32)
+        # zeroed border halos must stay zero post-bias (exact padded-conv
+        # semantics at the image top/bottom)
+        h1t_ref[:, 0:w] = h1t_ref[:, 0:w] * (1.0 - f0)
+        h1t_ref[:, n - w:n] = h1t_ref[:, n - w:n] * (1.0 - fl)
     acc = jnp.zeros((e_dim, sw), jnp.float32)
     for dj in (-1, 0, 1):
         if dj == -1:
@@ -298,6 +315,8 @@ def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
             lo = w + di * w
             k = (di + 1) * 3 + (dj + 1)
             acc = acc + base[:, lo:lo + sw] * wdTh[k][:]
+    if bd_col is not None:
+        acc = acc + bd_col[:].astype(jnp.float32)
     return acc
 
 
@@ -395,8 +414,8 @@ def _cm_sq_row(aT):
 
 def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
                        w_img, e_dim, residual, n_pair, pair_4d=(),
-                       has_po=False, interpret=False):
-    """CHANNELS-MAJOR gate/linear strip program (bias-free only).
+                       has_po=False, has_b1=False, interpret=False):
+    """CHANNELS-MAJOR gate/linear/gelu strip program.
 
     Same chain as _dw_kernel's gate mode, but the hidden activations live
     TRANSPOSED as (e, rows): the VPU pads the minor (lane) dim to 128, so
@@ -412,7 +431,9 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
 
     rest layout: ((xa2, xm2, xb2) x n_pair, + n_pair wpo matrices and one
     shared bpo if has_po), w1_a, w1_b, 9 x wdT_a (e, 1) fp32, 9 x wdT_b,
-    w2, b2, scale, then out_ref, xn_ref, h1t_ref ((e, n) fp32 scratch)."""
+    (b1_a, bd_a, b1_b, bd_b (e, 1) fp32 cols if has_b1 — single-chain
+    modes carry just b1_a, bd_a), w2, b2, scale, then out_ref, xn_ref,
+    h1t_ref ((e, n) fp32 scratch)."""
     idx = 0
 
     def take(k):
@@ -425,13 +446,18 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
         pairs = [take(3) for _ in range(n_pair)]
         wpos = take(n_pair) if has_po else None
         bpo = take(1)[0] if has_po else None
+    b1_a = bd_a = b1_b = bd_b = None
     if mode == "gate":
         w1_a, w1_b = take(2)
         wdT_a = take(9)
         wdT_b = take(9)
-    else:  # linear
+        if has_b1:
+            b1_a, bd_a, b1_b, bd_b = take(4)
+    else:  # linear / gelu
         w1_a = take(1)[0]
         wdT_a = take(9)
+        if has_b1:
+            b1_a, bd_a = take(2)
     w2, b2, scale = take(3)
     out_ref, xn_ref, h1t_ref = rest[idx:]
 
@@ -473,17 +499,21 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
     cdt = xm.dtype
     xn_cdt = xn_ref[:].astype(cdt)
 
-    def dw_half_cm(w1h, wdTh):
+    def dw_half_cm(w1h, wdTh, b1c=None, bdc=None):
         return _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l,
-                         w=w, sw=sw, n=n, e_dim=e_dim, interpret=interpret)
+                         w=w, sw=sw, n=n, e_dim=e_dim, interpret=interpret,
+                         b1_col=b1c, bd_col=bdc, f0=f0, fl=fl)
 
     if mode == "linear":
-        out_ref[0] = _cm_to_rows(dw_half_cm(w1_a, wdT_a)
+        out_ref[0] = _cm_to_rows(dw_half_cm(w1_a, wdT_a, b1_a, bd_a)
                                  ).astype(out_ref.dtype)
         return
 
-    hdb = dw_half_cm(w1_b, wdT_b)
-    act = _gelu_exact(dw_half_cm(w1_a, wdT_a)) * hdb
+    if mode == "gate":
+        hdb = dw_half_cm(w1_b, wdT_b, b1_b, bd_b)
+        act = _gelu_exact(dw_half_cm(w1_a, wdT_a, b1_a, bd_a)) * hdb
+    else:  # gelu
+        act = _gelu_exact(dw_half_cm(w1_a, wdT_a, b1_a, bd_a))
     out = _dg_f32(act.astype(cdt), w2[:], ((0,), (0,)), interpret)
     out = (out + b2[:].astype(jnp.float32)) * scale[:].astype(jnp.float32)
     if residual:
@@ -1470,18 +1500,26 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     # channels-major layout (_cm_chain). Measured 736x1280 e=160 gate
     # (pad 1.6x): 8.12 -> 6.05 ms; 368x640 e=320 (pad 1.2x): 1.88 -> 2.11
     # ms — the lane-roll/layout overhead eats a 1.2x saving, hence the
-    # >= 1.5x pad-ratio gate in _chan_major_ok.
-    chan_major = (mode in ("gate", "linear")
-                  and _chan_major_ok(e_dim, w, has_b1,
-                                     new_site=(mode == "linear")))
+    # >= 1.5x pad-ratio gate in _chan_major_ok. Biased chains (the
+    # ReducedAttn conv1/conv2 biases) are supported via direct (e, 1)
+    # bias columns — pass has_b1=False to the gate.
+    chan_major = (mode in ("gate", "linear", "gelu")
+                  and _chan_major_ok(e_dim, w, False,
+                                     new_site=(mode != "gate") or has_b1))
 
     a0 = half_args(0)
     wdT = lambda lo: [wd9[k, lo:lo + e_dim][:, None]  # noqa: E731
                       for k in range(9)]
+    bcols = lambda lo: [b1ff[lo:lo + e_dim][:, None],  # noqa: E731
+                        bdf[lo:lo + e_dim][:, None]]
     if chan_major and mode == "gate":
         args = [a0[0], w1[:, e_dim:2 * e_dim]] + wdT(0) + wdT(e_dim)
+        if has_b1:
+            args += bcols(0) + bcols(e_dim)
     elif chan_major:
         args = [a0[0]] + wdT(0)
+        if has_b1:
+            args += bcols(0)
     elif mode == "gate":
         a1 = half_args(e_dim)
         args = a0[:2] + a1[:2] + a0[2:] + a1[2:]
@@ -1505,7 +1543,7 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
             _dw_gate_cm_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows,
             w_img=w, e_dim=e_dim, residual=residual,
             n_pair=n_pair, pair_4d=pair_4d_flags, has_po=po_ws is not None,
-            interpret=interpret)
+            has_b1=has_b1, interpret=interpret)
     else:
         kernel = functools.partial(
             _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,

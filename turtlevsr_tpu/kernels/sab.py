@@ -64,7 +64,7 @@ def _kernel(s_ref, m_ref, out_ref, *, k_top: int):
 
 
 def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, fv_ref, out_ref, *,
-                   k_top: int, round_dtype):
+                   k_top: int, nf: int, round_dtype):
     """Fused scores + top-k + local-mask + clipped softmax for one q chunk
     of one (batch, frame): s = (q @ k^T) * temperature on the MXU, then the
     sparse-softmax chain of _kernel — the (NF, HW, HW) fp32 score tensor
@@ -82,7 +82,10 @@ def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, fv_ref, out_ref, *,
     # before the sparse softmax (sab_t1_apply: attn.astype(x.dtype))
     s = s.astype(round_dtype).astype(jnp.float32)
     m = m_ref[0].astype(jnp.float32)
-    probs = _sparse_softmax_rows(s, m, k_top) * fv_ref[0, 0]
+    # whole (1, nf) row lives in SMEM (TPU block specs need block == array
+    # for sub-(8,128) shapes); the frame scalar is a dynamic SMEM load
+    fv = fv_ref[0, jax.lax.rem(pl.program_id(0), jnp.int32(nf))]
+    probs = _sparse_softmax_rows(s, m, k_top) * fv
     out_ref[0] = probs.astype(out_ref.dtype)
 
 
@@ -105,7 +108,8 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, fvalid=None,
     else:
         fv = jnp.asarray(fvalid, jnp.float32).reshape(1, nf)
     return pl.pallas_call(
-        functools.partial(_scores_kernel, k_top=k_top, round_dtype=q.dtype),
+        functools.partial(_scores_kernel, k_top=k_top, nf=nf,
+                          round_dtype=q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, r, d), lambda bn, i, nf=nf: (bn // nf, i, 0),
@@ -117,7 +121,7 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, fvalid=None,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda bn, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda bn, i, nf=nf: (0, bn % nf),
+            pl.BlockSpec((1, nf), lambda bn, i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, r, hwk), lambda bn, i: (bn, i, 0),
