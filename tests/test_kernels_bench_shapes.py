@@ -81,6 +81,32 @@ def test_conv3x3_at_bench_shape():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.parametrize("w_img,cin,cout,bias,ln", [
+    (1280, 3, 64, True, False),    # input projection (cin<8: token-major)
+    (1280, 64, 32, False, False),  # down1_2 (channels-major, cout=32)
+    (640, 128, 64, False, False),  # down2_3 (channels-major at half res)
+    (1280, 64, 64, False, True),   # SAB v+po composite conv (with LN)
+])
+def test_conv3x3_chan_major_shapes(w_img, cin, cout, bias, ln):
+    """Every distinct 720p conv3x3 geometry the channels-major gate can
+    see (w%128==0, cout<128), plus the cin=3 input projection that must
+    stay token-major (sub-8 cin tap dots hang Mosaic on chip)."""
+    x = _rand(0, (1, H, w_img, cin))
+    wt = _rand(1, (3, 3, cin, cout)) * 0.1
+    b = _rand(2, (cout,)) * 0.1 if bias else None
+    kw = {}
+    want_in = x
+    if ln:
+        kw = dict(ln_w=_rand(3, (cin,)) * 0.1 + 1.0,
+                  ln_b=_rand(4, (cin,)) * 0.1)
+        m = x.mean(-1, keepdims=True)
+        v = ((x - m) ** 2).mean(-1, keepdims=True)
+        want_in = (x - m) / jnp.sqrt(v + 1e-5) * kw["ln_w"] + kw["ln_b"]
+    got = fused_conv3x3(x, wt, b, interpret=True, **kw)
+    want = conv2d(want_in, wt, b, padding=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_sab_probs_at_bench_window_grid():
     """The dec1 SAB geometry: 46x80 window grid (3680 tokens), dk=128,
     NF=3 — the exact shapes of the 720p bench attention."""

@@ -61,9 +61,8 @@ _VMEM_BUDGET_FFN = _VMEM_BUDGET
 _VMEM_LIMIT = 100 * 1024 * 1024
 
 
-def _erf(v):
-    # No erf/erfc primitive on TPU Pallas; Abramowitz & Stegun 7.1.26,
-    # |err| <= 1.5e-7 — far below bf16 noise.
+def _erf_as(v):
+    # Abramowitz & Stegun 7.1.26, |err| <= 1.5e-7 — far below bf16 noise.
     a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
                           -1.453152027, 1.061405429)
     p = 0.3275911
@@ -72,6 +71,38 @@ def _erf(v):
     t = 1.0 / (1.0 + p * av)
     poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
     return s * (1.0 - poly * jnp.exp(-av * av))
+
+
+def _erf_rational(v):
+    # XLA's ErfImpl32 rational approximation (math.cc): x*p(x^2)/q(x^2) on
+    # |x| <= 4 (erf saturates to +-1 beyond at f32) — NO exp and NO
+    # data-dependent reciprocal argument, one divide total; ~2 ulp f32,
+    # strictly tighter than the A&S poly. The VPU pays ~11 FMA + 1 div
+    # here vs 7 FMA + 1 div + 1 exp for A&S; exp is the multi-pass op.
+    alpha = (-2.72614225801306e-10, 2.77068142495902e-08,
+             -2.10102402082508e-06, -5.69250639462346e-05,
+             -7.34990630326855e-04, -2.95459980854025e-03,
+             -1.60960333262415e-02)
+    beta = (-1.45660718464996e-05, -2.13374055278905e-04,
+            -1.68282697438203e-03, -7.37332916720468e-03,
+            -1.42647390514189e-02)
+    x = jnp.clip(v, -4.0, 4.0)
+    w = x * x
+    p = alpha[0]
+    for a in alpha[1:]:
+        p = p * w + a
+    p = p * x
+    q = beta[0]
+    for b_ in beta[1:]:
+        q = q * w + b_
+    return p / q
+
+
+# jax.lax.erf HANGS the Mosaic compiler (r2) — both paths here are plain
+# polynomial VPU code. The knob exists for on-chip A/B; default stays A&S
+# until the rational form measures faster on chip.
+_erf = (_erf_rational if _os.environ.get("TURTLE_ERF") == "rational"
+        else _erf_as)
 
 
 def _gelu_exact(v):
@@ -387,14 +418,19 @@ def _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x, *, w, sw, n, e_dim,
     return acc
 
 
-def _cm_to_rows(acc):
+def _cm_to_rows(acc, n_keep=None):
     """(e, rows) fp32 -> (rows, e) fp32 via an identity matmul. Each output
     element is a single 1.0 * x product (every other term is 0 * y), so
     the transpose is numerically EXACT — the cast-to-model-dtype afterwards
-    matches the pixels-major path bitwise."""
+    matches the pixels-major path bitwise. With n_keep the identity is
+    rectangular (e, n_keep): transpose and channel-slice in one dot (the
+    sub-8 couts — the ending conv's 3 — keep every sublane shape >= 8 and
+    only the dot's N dim is narrow, a pattern the token-major path already
+    proves on chip)."""
     e = acc.shape[0]
-    ident = (jax.lax.broadcasted_iota(jnp.int32, (e, e), 0)
-             == jax.lax.broadcasted_iota(jnp.int32, (e, e), 1)
+    cols = e if n_keep is None else n_keep
+    ident = (jax.lax.broadcasted_iota(jnp.int32, (e, cols), 0)
+             == jax.lax.broadcasted_iota(jnp.int32, (e, cols), 1)
              ).astype(jnp.float32)
     return jax.lax.dot_general(acc, ident,
                                dimension_numbers=(((0,), (0,)), ((), ())),
@@ -1161,7 +1197,8 @@ def fused_ln_qkv_dw(x, *, ln_w=None, ln_b=None, w1, b1=None, wd, bd=None,
 
 
 def _conv3_kernel(xa, xm, xb, w9, bias, ln_w, ln_b, out_ref, xn_ref,
-                  acc_ref, *, s_rows, w_img, cout, ln_mode):
+                  acc_ref, *, s_rows, w_img, cout, ln_mode,
+                  chan_major=False, interpret=False):
     """Dense 3x3 conv as 9 shifted MXU matmuls over one row strip,
     optionally preceded by channel LN (the composite v+project_out chain
     of SAB folds into this shape: po o dw3x3 o pw1x1 == one dense conv
@@ -1172,7 +1209,16 @@ def _conv3_kernel(xa, xm, xb, w9, bias, ln_w, ln_b, out_ref, xn_ref,
     masked at the row wrap; each tap contributes shifted_rows @ W[tap]
     ((rows, Cin) @ (Cin, Cout) on the MXU). XLA's conv lowering leaves
     3-4x on the table at these full-res shapes (measured 3.5-4.2 ms vs
-    ~1-1.5 ms here for ending/down convs at 736x1280)."""
+    ~1-1.5 ms here for ending/down convs at 736x1280).
+
+    chan_major: the U-Net's edge convs have SMALL Cout (ending 3, downs
+    C/2, input 32/64) that pads to 128 lanes in the (rows, Cout) fp32
+    accumulator — 9 tap adds at up to 42x VPU waste. The channels-major
+    variant keeps every tap product transposed (Cout, rows): Cout rides
+    sublanes (pad 8), the pixel dim is exact lanes; tap matmuls come out
+    transposed straight from dot_general dimension numbers, column shifts
+    are lane rolls of the small (Cout, n) products, and the output pays
+    one exact identity-matmul transpose (_cm_to_rows)."""
     i = pl.program_id(1)
     last = pl.num_programs(1) - 1
     w = w_img
@@ -1189,6 +1235,31 @@ def _conv3_kernel(xa, xm, xb, w9, bias, ln_w, ln_b, out_ref, xn_ref,
     xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
 
     cdt = xm.dtype
+    if chan_major:
+        # wrap masks over the SLICED sw lanes: rolls happen post-slice
+        # (slices are whole image rows, so the roll's wrap-around lane is
+        # always a masked col-0 / col-(w-1) position — exact)
+        cml_s, cmr_s = _col_wrap_masks_lane(sw, w)
+        xn_cdt = xn_ref[:].astype(cdt)
+        cpad = acc_ref.shape[0]  # cout padded to a sublane multiple of 8
+        acc_ref[:] = jnp.zeros((cpad, sw), jnp.float32)
+        for dj in (-1, 0, 1):
+            for di in (-1, 0, 1):
+                k = (di + 1) * 3 + (dj + 1)
+                # (Cpad, n) = w9[k]^T-contraction against the (n, Cin)
+                # LN scratch — no transpose op exists anywhere
+                lo = w + di * w
+                tap = _dg_f32(w9[k], xn_cdt, ((0,), (1,)),
+                              interpret)[:, lo:lo + sw]
+                if dj == -1:
+                    tap = pltpu.roll(tap, shift=1, axis=1) * cml_s
+                elif dj == 1:
+                    tap = pltpu.roll(tap, shift=sw - 1, axis=1) * cmr_s
+                acc_ref[:] = acc_ref[:] + tap
+        acc = acc_ref[:] + bias[:].astype(jnp.float32)[:, None]
+        out_ref[0] = _cm_to_rows(acc, n_keep=cout).astype(out_ref.dtype)
+        return
+
     # accumulate through a scratch ref: an SSA accumulator lets Mosaic keep
     # all 9 tap-matmul temporaries live at once (measured 222MB vmem at the
     # 368x640x256 up-conv); the ref write serialises them
@@ -1249,13 +1320,34 @@ def fused_conv3x3(x, weight, bias=None, *, ln_w=None, ln_b=None,
     sw = s_rows * w
     n = sw + 2 * w
 
+    # channels-major pays off while Cout pads on lanes (< 128); the lane
+    # slices at ±w offsets need w % 128 == 0 (same A/B knobs as
+    # _chan_major_ok: TURTLE_CHAN_MAJOR=0 kills it, _NEW=0 reverts this
+    # post-5.335 site). Sub-8 couts HUNG the Mosaic compiler when used
+    # bare (a (3, sw) scratch / M=3 tap dots / K=3 identity contraction —
+    # do NOT retry); they are instead padded to a sublane multiple
+    # host-side and sliced back inside the exact transpose matmul
+    # (_cm_to_rows n_keep). Sub-8 CIN also HANGS (cin=3 input projection:
+    # K=3 tap dots against the (n, 3) scratch — timed out on chip, do NOT
+    # retry); the input projection stays token-major (its K=3 dots are
+    # M=n there, proven on chip).
+    force = _os.environ.get("TURTLE_CHAN_MAJOR")
+    chan_major = (w % 128 == 0 and cout < 128 and cin >= 8
+                  and force != "0"
+                  and _os.environ.get("TURTLE_CHAN_MAJOR_NEW") != "0")
+    cpad = (cout + 7) // 8 * 8
+    if chan_major and cpad != cout:
+        w9 = jnp.pad(w9, ((0, 0), (0, 0), (0, cpad - cout)))
+        bias_a = jnp.pad(bias_a, (0, cpad - cout))
+
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, cin)
     out = pl.pallas_call(
         functools.partial(_conv3_kernel, s_rows=s_rows, w_img=w, cout=cout,
-                          ln_mode=ln_mode),
+                          ln_mode=ln_mode, chan_major=chan_major,
+                          interpret=interpret),
         grid=(b, h // s_rows),
         in_specs=[
             pl.BlockSpec((1, w, cin),
@@ -1272,7 +1364,8 @@ def fused_conv3x3(x, weight, bias=None, *, ln_w=None, ln_b=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, cout), dt),
         scratch_shapes=[pltpu.VMEM((n, cin), jnp.float32),
-                        pltpu.VMEM((sw, cout), jnp.float32)],
+                        pltpu.VMEM((cpad, sw) if chan_major else (sw, cout),
+                                   jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel")),
