@@ -99,10 +99,12 @@ def _erf_rational(v):
 
 
 # jax.lax.erf HANGS the Mosaic compiler (r2) — both paths here are plain
-# polynomial VPU code. The knob exists for on-chip A/B; default stays A&S
-# until the rational form measures faster on chip.
-_erf = (_erf_rational if _os.environ.get("TURTLE_ERF") == "rational"
-        else _erf_as)
+# polynomial VPU code. On-chip A/B (2026-08-20, 720p headline): rational
+# 5.499 fps vs A&S 5.449 — the exp is the multi-pass VPU op; the rational
+# form is also ~2 ulp f32 (tighter than A&S 1.5e-7), so it's the default.
+# TURTLE_ERF=as forces the A&S poly back for A/B.
+_erf = (_erf_as if _os.environ.get("TURTLE_ERF") == "as"
+        else _erf_rational)
 
 
 def _gelu_exact(v):
