@@ -78,6 +78,50 @@ def test_fused_reduced_attn_matches_jnp():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
 
 
+def test_chained_reduced_attn_ffw_block():
+    """The one-traversal ReducedAttn+FFW block kernel == the two-step
+    chain (ReducedAttn half then FFW half), which itself is pinned to the
+    torch reference by the parity tests."""
+    x = _x(1, 8, 16, 8)
+    c = x.shape[-1]
+    spec = B.BlockSpec(attn_type="ReducedAttn", ffw_type="FFW", dim=c,
+                       num_heads=1, ffn_expansion_factor=2.5, bias=False,
+                       layernorm_bias=True, num_frames_tocache=0,
+                       kernels="pallas")
+    p = _randomize(B.attn_block_init(jax.random.PRNGKey(4), spec))
+    y = B._fused_reduced_attn_half(p, x, spec)
+    want = B._fused_ffn_half(p, y, spec)
+    got = B._fused_reduced_attn_half(p, x, spec, chain_ffw=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
+    # the block dispatcher takes the chained path at this shape
+    out, slot = B.attn_block_apply(p, x, spec, None)
+    assert slot is None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(got), atol=0)
+
+
+def test_chained_block_grads_match():
+    x = _x(1, 8, 16, 8)
+    c = x.shape[-1]
+    spec = B.BlockSpec(attn_type="ReducedAttn", ffw_type="FFW", dim=c,
+                       num_heads=1, ffn_expansion_factor=2.5, bias=False,
+                       layernorm_bias=True, num_frames_tocache=0,
+                       kernels="pallas")
+    p = _randomize(B.attn_block_init(jax.random.PRNGKey(5), spec))
+
+    def loss_chained(p_, x_):
+        return jnp.sum(B._fused_reduced_attn_half(p_, x_, spec,
+                                                  chain_ffw=True) ** 2)
+
+    def loss_twostep(p_, x_):
+        y = B._fused_reduced_attn_half(p_, x_, spec)
+        return jnp.sum(B._fused_ffn_half(p_, y, spec) ** 2)
+
+    g1 = jax.grad(loss_chained, argnums=(0, 1))(p, x)
+    g2 = jax.grad(loss_twostep, argnums=(0, 1))(p, x)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-4), g1, g2)
+
+
 def test_fused_gffw_biasfree_ln():
     x = _x(1, 8, 16, 8)
     c = x.shape[-1]

@@ -155,7 +155,8 @@ def _border_masks(sw: int, w: int):
 
 
 def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
-               e_dim, has_b1, residual, n_pair, pair_4d=(), has_po=False):
+               e_dim, has_b1, residual, n_pair, pair_4d=(), has_po=False,
+               ffw2_ln_mode=None):
     """Strip program: S image rows per step + one halo row each side (the
     halo rows arrive as separate clamped row blocks).
 
@@ -192,6 +193,11 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     sv_a = take(9) if has_b1 else None
     sv_b = (take(9) if mode == "gate" else sv_a) if has_b1 else None
     w2, b2, scale = take(3)
+    if ffw2_ln_mode is not None:
+        # chained pointwise-FFW second half (the ReducedAttn+FFW block
+        # runs as ONE kernel: y = this chain's output is consumed here
+        # in-registers, never round-tripping HBM)
+        f2_lnw, f2_lnb, w4, b4, w5, b5, g2 = take(7)
     out_ref, xn_ref, h1_ref = rest[idx:]
 
     i = pl.program_id(1)
@@ -263,6 +269,18 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
     out = (out + b2[:].astype(jnp.float32)) * scale[:].astype(jnp.float32)
     if residual:
         out = out + x_mid.astype(jnp.float32)
+    if ffw2_ln_mode is not None:
+        # stage B: out2 = y + gamma * pw5(gelu(pw4(LN2(y)))) — pointwise,
+        # so no extra halo. y is cast through the model dtype exactly as
+        # the two-kernel version round-tripped it via HBM (bitwise parity)
+        y = out.astype(out_ref.dtype)
+        yn = _ln_2d_f32(y, f2_lnw, f2_lnb, ffw2_ln_mode).astype(cdt)
+        hd = jnp.dot(yn, w4[:], preferred_element_type=jnp.float32)
+        hd = hd + b4[:].astype(jnp.float32)
+        o2 = jnp.dot(_gelu_exact(hd).astype(cdt), w5[:],
+                     preferred_element_type=jnp.float32)
+        o2 = (o2 + b5[:].astype(jnp.float32)) * g2[:].astype(jnp.float32)
+        out = o2 + y.astype(jnp.float32)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
@@ -1133,7 +1151,8 @@ def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _strip_mem(s: int, w: int, c: int, e: int, n_pair: int = 0) -> int:
+def _strip_mem(s: int, w: int, c: int, e: int, n_pair: int = 0,
+               ffw2_e: int = 0) -> int:
     n = (s + 2) * w
     mem = (n * c * 6            # fp32 LN scratch + cast copy
            + 2 * n * e * 4      # pw1 hidden scratch + one rolled base
@@ -1144,16 +1163,20 @@ def _strip_mem(s: int, w: int, c: int, e: int, n_pair: int = 0) -> int:
     # each pair map streams in as three more blocked inputs (halo above /
     # main / halo below), double-buffered, plus its po weight matrix
     mem += int(n_pair) * (4 * s * w * c * 2 + 8 * w * c * 2 + 2 * c * c * 2)
+    # chained pointwise-FFW stage: LN2 copy + fp32 hidden/gelu transients
+    if ffw2_e:
+        mem += 3 * s * w * ffw2_e * 4 + 2 * s * w * c * 4
     return mem
 
 
 def _pick_strip(h: int, w: int, c: int, e: int,
-                budget: int = _VMEM_BUDGET, n_pair: int = 0) -> int:
+                budget: int = _VMEM_BUDGET, n_pair: int = 0,
+                ffw2_e: int = 0) -> int:
     """Rows per strip (divides h) fitting the VMEM budget; bigger strips
     amortise per-program overhead and give the MXU larger matmuls."""
     best = 0
     for s in range(1, min(h, 32) + 1):
-        if h % s == 0 and _strip_mem(s, w, c, e, n_pair) <= budget:
+        if h % s == 0 and _strip_mem(s, w, c, e, n_pair, ffw2_e) <= budget:
             best = s
     return best
 
@@ -1171,6 +1194,18 @@ def _pw_rows(rows: int, c: int, ch: int) -> int:
 
 def _pw_rows_fit(rows: int, c: int, ch: int) -> bool:
     return _pw_rows(rows, c, ch) > 0
+
+
+def block2_supported(h: int, w: int, c: int, e_dim: int,
+                     ffw2_e: int) -> bool:
+    """Gate for the chained ReducedAttn+FFW block kernel (dw 'gelu' chain
+    with a pointwise-FFW stage appended — ONE traversal per block)."""
+    return (w % 8 == 0
+            and _pick_strip(h, w, c, e_dim, ffw2_e=ffw2_e) > 0
+            # chaining lives only in the token-major program; at the
+            # shapes that hit it (e == 2c) channels-major never fires,
+            # enforce anyway
+            and not _chan_major_ok(e_dim, w, False, new_site=True))
 
 
 def ffn_pallas_supported(h: int, w: int, c: int, e_dim: int,
@@ -1485,7 +1520,7 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
 def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
                     ln_b=None, w1, b1=None, wd=None, bd=None, w2=None,
                     b2=None, scale=None, mode: str, residual: bool = True,
-                    interpret: bool = False):
+                    ffw2=None, interpret: bool = False):
     """Apply the fused FFN chain to NHWC ``x`` (see module docstring).
 
     w1: (C, CH); wd/bd: (3, 3, CH) or None (no dwconv); w2: (E, C) with
@@ -1504,6 +1539,14 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     block specs indexing the frame dim directly (no per-frame slice copies
     on the XLA side); po_w stays one matrix per FINAL map, stacked frames
     flattened in order.
+
+    ffw2: optional dict {ln_w, ln_b?, w1 (C, F), b1 (F,), w2 (F, C),
+    b2 (C,), scale (C,)} — a SECOND, pointwise (no-dw) FFW half chained
+    after this chain's output y: out = y + scale*(pw2(gelu(pw1(LN2 y)))
+    + b2). The whole ReducedAttn+FFW block (turtle_arch.py:627-665 +
+    :184-213 wired per :727-734) becomes ONE map traversal; y is cast
+    through the model dtype in-kernel, so the result is bitwise what the
+    two-kernel version produced. Token-major dw path only.
     """
     b, h, w, c = x.shape
     x2_entries = (list(x2) if isinstance(x2, (list, tuple))
@@ -1598,9 +1641,10 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     # >= 1.5x pad-ratio gate in _chan_major_ok. Biased chains (the
     # ReducedAttn conv1/conv2 biases) are supported via direct (e, 1)
     # bias columns — pass has_b1=False to the gate.
-    chan_major = (mode in ("gate", "linear", "gelu")
+    chan_major = (mode in ("gate", "linear", "gelu") and ffw2 is None
                   and _chan_major_ok(e_dim, w, False,
                                      new_site=(mode != "gate") or has_b1))
+    assert ffw2 is None or mode != "linear", "ffw2 needs a full FFN chain"
 
     a0 = half_args(0)
     wdT = lambda lo: [wd9[k, lo:lo + e_dim][:, None]  # noqa: E731
@@ -1621,14 +1665,23 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     else:
         args = a0
 
+    ffw2_ln_mode = None
+    if ffw2 is not None:
+        ffw2_ln_mode = "bias_free" if ffw2.get("ln_b") is None else "with_bias"
     s_rows = _pick_strip(h, w, c, e_dim, budget=_VMEM_BUDGET_FFN,
-                         n_pair=n_pair)
+                         n_pair=n_pair,
+                         ffw2_e=(ffw2["w1"].shape[1] if ffw2 else 0))
     assert s_rows, "no feasible strip size; use the XLA path"
     sw = s_rows * w
     n = sw + 2 * w
 
     w2a = w2 if w2 is not None else zeros((1, out_c))
     args += [w2a, b2a, sc]
+    if ffw2 is not None:
+        args += [ffw2["ln_w"],
+                 ffw2["ln_b"] if ffw2.get("ln_b") is not None else zeros((c,)),
+                 ffw2["w1"], ffw2["b1"], ffw2["w2"], ffw2["b2"],
+                 ffw2["scale"]]
 
     grid = (b, h // s_rows)
     pair_4d_flags = tuple(e.ndim == 5 for e in x2_entries
@@ -1643,7 +1696,8 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
         kernel = functools.partial(
             _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
             e_dim=e_dim, has_b1=has_b1, residual=residual,
-            n_pair=n_pair, pair_4d=pair_4d_flags, has_po=po_ws is not None)
+            n_pair=n_pair, pair_4d=pair_4d_flags, has_po=po_ws is not None,
+            ffw2_ln_mode=ffw2_ln_mode)
     last_row = h - 1
     s_ = s_rows
     halo_specs = [

@@ -91,6 +91,17 @@ def _ffn_xla(x, p, mode, residual, ln_mode):
         out = out * p["scale"]
     if residual:
         out = out + x
+    if p.get("ffw2") is not None:
+        # chained pointwise FFW second half (one-traversal ReducedAttn+FFW
+        # block): y casts through the model dtype exactly like the kernel
+        f2 = p["ffw2"]
+        y = out.astype(x.dtype)
+        yn = _ln_xla(y, f2, "with_bias" if f2.get("ln_b") is not None
+                     else "bias_free")
+        h2 = jnp.einsum("bhwc,ce->bhwe", yn, f2["w1"]) + f2["b1"]
+        o2 = jnp.einsum("bhwe,ec->bhwc",
+                        jax.nn.gelu(h2, approximate=False), f2["w2"])
+        out = y + (o2 + f2["b2"]) * f2["scale"]
     return out
 
 
@@ -100,7 +111,8 @@ def ffn_op(x, p, statics):
     kw = dict(ln_w=p.get("ln_w"), ln_b=p.get("ln_b"), w1=p["w1"],
               b1=p.get("b1"), wd=p.get("wd"), bd=p.get("bd"),
               w2=p.get("w2"), b2=p.get("b2"), scale=p.get("scale"),
-              x2=p.get("x2"), po_w=p.get("po_w"), po_b=p.get("po_b"))
+              x2=p.get("x2"), po_w=p.get("po_w"), po_b=p.get("po_b"),
+              ffw2=p.get("ffw2"))
     if mode == "linear":
         return fused_ln_qkv_dw(x, ln_w=kw["ln_w"], ln_b=kw["ln_b"],
                                w1=kw["w1"], b1=kw["b1"], wd=kw["wd"],
@@ -126,15 +138,18 @@ ffn_op.defvjp(_ffn_fwd, _ffn_bwd)
 
 def call_fused_ffn(x, *, mode, residual=True, interpret=False, ln_w=None,
                    ln_b=None, w1, b1=None, wd=None, bd=None, w2=None,
-                   b2=None, scale=None, x2=None, po_w=None, po_b=None):
+                   b2=None, scale=None, x2=None, po_w=None, po_b=None,
+                   ffw2=None):
     """Differentiable fused FFN/projection (drop-in for fused_block_ffn /
     fused_ln_qkv_dw). Weight layout: w1 (C, CH), wd (3, 3, CH), w2 (E, C).
-    x2: optional fused second addend (the attention branch's residual)."""
+    x2: optional fused second addend (the attention branch's residual).
+    ffw2: optional chained pointwise FFW half (one-traversal block)."""
     ln_mode = ("none" if ln_w is None
                else ("bias_free" if ln_b is None else "with_bias"))
     p = {k: v for k, v in dict(ln_w=ln_w, ln_b=ln_b, w1=w1, b1=b1, wd=wd,
                                bd=bd, w2=w2, b2=b2, scale=scale,
-                               x2=x2, po_w=po_w, po_b=po_b).items()
+                               x2=x2, po_w=po_w, po_b=po_b,
+                               ffw2=ffw2).items()
          if v is not None}
     return ffn_op(x, p, (mode, residual, ln_mode, interpret))
 

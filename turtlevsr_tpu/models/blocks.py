@@ -24,6 +24,7 @@ from turtlevsr_tpu.core.cache import (
     fhr_slot_append,
     frame_valid_mask,
     sab_slot_append,
+    sab_slot_append_v,
     token_valid_mask,
 )
 from turtlevsr_tpu.ops.attn_utils import (
@@ -32,7 +33,6 @@ from turtlevsr_tpu.ops.attn_utils import (
     l2_normalize,
     local_window_mask,
     masked_softmax,
-    posenc2d,
     topk_keep,
 )
 from turtlevsr_tpu.ops.conv import conv_init
@@ -680,15 +680,15 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
     """t0 semantics (turtle_arch.py:459-533). The attention scores are
     computed and then DISCARDED by ``out = v`` (:523, SURVEY.md quirk Q1), so
     the aligned output is just the lattice-windowed V of [history ‖ current]
-    and the whole q/top-k/softmax chain is dead code — we skip it. Only the
-    windowed K/V caches are produced (K feeds the next frame's equally-dead
-    attention, kept for cache-shape parity)."""
+    and the whole q/top-k/softmax chain is dead code — we skip it. The
+    windowed-K cache would only feed the NEXT frame's equally-dead
+    attention, so the entire qk chain (posenc add, qk 1x1 + dwconv,
+    l2-normalise, lattice split) and the K ring writes are skipped too;
+    the slot keeps a tiny zero K field for pytree-structure stability
+    (see core/cache.py sab_slot_append_v)."""
     b, h, w, c = x.shape
     if ln is not None:
         x = layer_norm(x, ln[0], ln[1])
-    pos = posenc2d(c, h, w, x.dtype)[None]
-    qk = _conv(params["qk_dwconv"], _conv(params["qk"], x + pos), padding=1)
-    _, k_ = jnp.split(qk, 2, axis=-1)
     # out = v here (quirk Q1), so project_out applies per frame to the raw
     # windowed v -- pre-projecting the one current map is exact (bias incl.)
     v_po = False
@@ -714,15 +714,14 @@ def sab_t0_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         v_map = _proj_dw(params, ("v", "v_dwconv"), x, None, spec)
         v_map = _conv(params["project_out"], v_map)
 
-    k = l2_normalize(_lattice_split(k_, ws, spec=spec), axis=-1)
     v = _lattice_split(v_map, ws, spec=spec)
 
     if slot is not None:
-        n_frames = slot["k"].shape[1]
+        n_frames = slot["v"].shape[1]
         v_all = jnp.concatenate([slot["v"].astype(v.dtype), v[:, None]], axis=1)
         fvalid = jnp.concatenate(
             [frame_valid_mask(slot["n"], n_frames), jnp.ones((1,), bool)])
-        new_slot = sab_slot_append(slot, k, v)
+        new_slot = sab_slot_append_v(slot, v)
     else:
         v_all = v[:, None]
         fvalid = jnp.ones((1,), bool)
@@ -1089,21 +1088,35 @@ def _fused_ffn_half(params, x, spec: BlockSpec, x2=None, po=None):
         scale=p["gamma"], mode="gelu", interpret=_pallas_interpret())
 
 
-def _fused_reduced_attn_half(params, x, spec: BlockSpec):
+def _fused_reduced_attn_half(params, x, spec: BlockSpec, chain_ffw=False):
     """x + ReducedAttn(norm1(x)) as one fused Pallas pass
-    (differentiable)."""
+    (differentiable). With chain_ffw the block's pointwise FFW half is
+    appended IN the same kernel (one traversal for the whole
+    ReducedAttn+FFW block — turtle_arch.py:627-665 + :184-213)."""
     from turtlevsr_tpu.kernels.vjp import call_fused_ffn as fused_block_ffn
 
     ln = params["norm1"]["body"]
     p = params["attn"]
     c = spec.dim
     dw = p["conv1"]["weight"].shape[-1]
+    ffw2 = None
+    if chain_ffw:
+        ln2 = params["norm2"]["body"]
+        pf = params["ffn"]
+        ffw2 = {"ln_w": ln2["weight"],
+                "w1": pf["conv4"]["weight"].reshape(c, 2 * c),
+                "b1": pf["conv4"]["bias"],
+                "w2": pf["conv5"]["weight"].reshape(2 * c, c),
+                "b2": pf["conv5"]["bias"], "scale": pf["gamma"]}
+        if ln2.get("bias") is not None:
+            ffw2["ln_b"] = ln2["bias"]
     return fused_block_ffn(
         x, ln_w=ln["weight"], ln_b=ln.get("bias"),
         w1=p["conv1"]["weight"].reshape(c, dw), b1=p["conv1"]["bias"],
         wd=p["conv2"]["weight"].reshape(3, 3, dw), bd=p["conv2"]["bias"],
         w2=p["conv3"]["weight"].reshape(dw, c), b2=p["conv3"]["bias"],
-        scale=p["beta"], mode="gelu", interpret=_pallas_interpret())
+        scale=p["beta"], mode="gelu", ffw2=ffw2,
+        interpret=_pallas_interpret())
 
 
 def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
@@ -1117,6 +1130,15 @@ def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
         return x + ffn(params["ffn"], _ln(params["norm2"], x)), None
 
     if t == "ReducedAttn" and fused:
+        if spec.ffw_type == "FFW":
+            from turtlevsr_tpu.kernels.ffn import block2_supported
+
+            c = spec.dim
+            dw = params["attn"]["conv1"]["weight"].shape[-1]
+            if block2_supported(x.shape[1], x.shape[2], c, dw, 2 * c):
+                # whole ReducedAttn+FFW block in ONE kernel traversal
+                return _fused_reduced_attn_half(params, x, spec,
+                                                chain_ffw=True), None
         x = _fused_reduced_attn_half(params, x, spec)
         new_slot = None
     else:
