@@ -65,7 +65,7 @@ def fhr_slot_append(slot: dict, k_new, v_new) -> dict:
 def sab_slot_append(slot: dict, k_new, v_new) -> dict:
     """Write one frame (k_new/v_new have no frame axis) at the ring
     position."""
-    n_frames = slot["k"].shape[1]
+    n_frames = slot["v"].shape[1]
     ptr = slot["n"] % n_frames
     zero = jnp.int32(0)
     k = jax.lax.dynamic_update_slice(slot["k"], k_new[:, None],
@@ -73,6 +73,22 @@ def sab_slot_append(slot: dict, k_new, v_new) -> dict:
     v = jax.lax.dynamic_update_slice(slot["v"], v_new[:, None],
                                      (zero, ptr, zero, zero))
     return {"k": k, "v": v, "n": slot["n"] + 1}
+
+
+def sab_slot_append_v(slot: dict, v_new) -> dict:
+    """Append one frame's V only, leaving the (vestigial) K field as-is.
+
+    The t0 SAB discards its attention scores (``out = v``,
+    turtle_arch.py:523, quirk Q1), so the windowed-K cache feeding the
+    next frame's equally-dead attention is never read: t0 keeps a tiny
+    zero K field purely for pytree-structure stability and skips the
+    whole dead qk chain + the ~hundreds-of-MB/frame K ring writes."""
+    n_frames = slot["v"].shape[1]
+    ptr = slot["n"] % n_frames
+    zero = jnp.int32(0)
+    v = jax.lax.dynamic_update_slice(slot["v"], v_new[:, None],
+                                     (zero, ptr, zero, zero))
+    return {"k": slot["k"], "v": v, "n": slot["n"] + 1}
 
 
 def frame_valid_mask(n, n_frames: int):

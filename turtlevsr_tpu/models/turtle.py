@@ -229,11 +229,15 @@ def _slot_for_level(cfg: ModelConfig, lvl: LevelSpec, attn_type: str,
         ws = 2 * lvl.scale_patchsize
         hw = (h // ws) * (w // ws)
         if cfg.variant == "t0":
-            dk = dv = ws * ws * lvl.dim
-            hw_q = hw
-        else:
-            dk, dv = 2 * lvl.dim, ws * ws * lvl.dim
-            hw_q = hw
+            # the t0 K cache is never read (quirk Q1 — the attention it
+            # would feed is dead code); keep a tiny zero field for pytree
+            # stability instead of a (NF, HW, ws²c) buffer nobody touches
+            dk, dv = 8, ws * ws * lvl.dim
+            hw_q = 8
+            return sab_slot_init(batch, lvl.num_frames_tocache, hw_q, dk,
+                                 hw, dv, dtype)
+        dk, dv = 2 * lvl.dim, ws * ws * lvl.dim
+        hw_q = hw
         return sab_slot_init(batch, lvl.num_frames_tocache, hw_q, dk, hw, dv,
                              dtype)
     return None
