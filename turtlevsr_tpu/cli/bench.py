@@ -150,10 +150,31 @@ def bench_numerics(args, opt, cfg, dtype):
     env_overrides = _env_overrides()
     if env_overrides:
         art["env_overrides"] = env_overrides
+    import subprocess
+    import time as _time
+    try:
+        art["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        pass
+    art["date"] = _time.strftime("%Y-%m-%d")
+    # one line per option file (VERDICT r3 #8: cover t0/SR beyond the
+    # flagship) — merge by opt into a list artifact
+    try:
+        with open(args.numerics_json) as f:
+            old = json.load(f)
+        entries = old if isinstance(old, list) else [old]
+    except Exception:
+        entries = []
+    merged = {e.get("opt", "?"): e for e in entries}
+    merged[art["opt"]] = art
     with open(args.numerics_json, "w") as f:
-        json.dump(art, f, indent=1)
-    print(json.dumps({"metric": art["metric"], "value": art["min_db"],
-                      "unit": "dB"}))
+        json.dump(list(merged.values()), f, indent=1)
+    print(json.dumps({"metric": art["metric"], "opt": art["opt"],
+                      "value": art["min_db"], "unit": "dB"}))
 
 
 def main():

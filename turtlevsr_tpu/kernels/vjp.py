@@ -331,6 +331,79 @@ def call_chm_stats(x, x_sp, qkv, kv, *, ln_w=None, ln_b=None,
     return chm_stats_op(x, x_sp, p, (ln_mode, interpret))
 
 
+def _run_block_inputs(bp, spec):
+    """Per-block pre-split weight dict for the level megakernel
+    (kernels/level.py) from an attn-block param tree."""
+    c = spec.dim
+    a = bp["attn"]
+    w3 = a["qkv"]["weight"].reshape(c, 3 * c)
+    wd3 = a["qkv_dwconv"]["weight"].reshape(3, 3, 3 * c)
+    f = bp["ffn"]
+    hid = f["project_in"]["weight"].shape[-1]
+    e = hid // 2
+    w1g = f["project_in"]["weight"].reshape(c, hid)
+    wdg = f["dwconv"]["weight"].reshape(3, 3, hid)
+    d = {
+        "ln1_w": bp["norm1"]["body"]["weight"],
+        "ln1_b": bp["norm1"]["body"].get("bias"),
+        "w1_q": w3[:, :c], "wd_q": wd3[:, :, :c],
+        "w1_k": w3[:, c:2 * c], "wd_k": wd3[:, :, c:2 * c],
+        "w1_v": w3[:, 2 * c:], "wd_v": wd3[:, :, 2 * c:],
+        "temp": a["temperature"],
+        "wpo": a["project_out"]["weight"].reshape(c, c),
+        "ln2_w": bp["norm2"]["body"]["weight"],
+        "ln2_b": bp["norm2"]["body"].get("bias"),
+        "w1_a": w1g[:, :e], "wd_a": wdg[:, :, :e],
+        "w1_b": w1g[:, e:], "wd_b": wdg[:, :, e:],
+        "w2": f["project_out"]["weight"].reshape(e, c),
+    }
+    return d
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def channel_run_op(x, p, statics):
+    from turtlevsr_tpu.kernels.level import fused_channel_gffw_run
+
+    spec, interpret = statics
+    blocks = [_run_block_inputs(bp, spec) for bp in p["blocks"]]
+    ln_mode = ("with_bias" if blocks[0]["ln1_b"] is not None
+               else "bias_free")
+    return fused_channel_gffw_run(x, blocks, heads=spec.num_heads,
+                                  ln_mode=ln_mode, interpret=interpret)
+
+
+def _channel_run_xla(x, p, spec):
+    import dataclasses
+
+    from turtlevsr_tpu.models import blocks as B
+
+    spec_x = dataclasses.replace(spec, kernels="xla")
+    for bp in p["blocks"]:
+        x, _ = B.attn_block_apply(bp, x, spec_x, None)
+    return x
+
+
+def _channel_run_fwd(x, p, statics):
+    return channel_run_op(x, p, statics), (x, p)
+
+
+def _channel_run_bwd(statics, res, g):
+    spec, _ = statics
+    x, p = res
+    _, vjp = jax.vjp(lambda x_, p_: _channel_run_xla(x_, p_, spec), x, p)
+    return vjp(g)
+
+
+channel_run_op.defvjp(_channel_run_fwd, _channel_run_bwd)
+
+
+def call_channel_run(x, params_list, spec, interpret=False):
+    """Differentiable level megakernel: a run of cacheless Channel+GFFW
+    blocks with the map resident in VMEM (kernels/level.py)."""
+    return channel_run_op(x, {"blocks": list(params_list)},
+                          (spec, interpret))
+
+
 def _conv3_xla(x, p):
     from turtlevsr_tpu.ops.conv import conv2d
     from turtlevsr_tpu.ops.norm import layer_norm

@@ -1119,6 +1119,44 @@ def _fused_reduced_attn_half(params, x, spec: BlockSpec, chain_ffw=False):
         interpret=_pallas_interpret())
 
 
+def channel_run_ok(params_list, x, spec: BlockSpec) -> bool:
+    """Gate for the level megakernel (kernels/level.py): a run of >=2
+    cacheless Channel+GFFW blocks, bias-free convs (the shipped configs),
+    whole map + scratch within VMEM. TURTLE_MEGAKERNEL=0 disables."""
+    if (spec is None or spec.kernels != "pallas"
+            or spec.ffw_type != "GFFW" or len(params_list) < 2):
+        return False
+    # MEASURED NEGATIVE on chip (r4): latent 9 blocks 9.55 ms vs 8.13 for
+    # the split stats+FFN kernels, enc3 16.54 vs 13.46 — the in-kernel
+    # strip loop loses Mosaic's cross-strip DMA/compute pipelining, which
+    # outweighs the ~5 map round-trips/block it saves; the unrolled-strip
+    # variant is compile-pathological (>20 min vs 82 s). Kept tested and
+    # opt-in: TURTLE_MEGAKERNEL=1 enables.
+    if _os.environ.get("TURTLE_MEGAKERNEL", "0") != "1":
+        return False
+    for bp in params_list:
+        a = bp["attn"]
+        f = bp["ffn"]
+        if any("bias" in d for d in (
+                a["qkv"], a["qkv_dwconv"], a["project_out"],
+                f["project_in"], f["dwconv"], f["project_out"])):
+            return False
+    from turtlevsr_tpu.kernels.level import channel_run_supported
+
+    hid = params_list[0]["ffn"]["project_in"]["weight"].shape[-1]
+    return channel_run_supported(x.shape[1], x.shape[2], spec.dim,
+                                 hid // 2, len(params_list))
+
+
+def channel_run_apply(params_list, x, spec: BlockSpec):
+    """Apply a run of cacheless Channel+GFFW blocks as ONE megakernel
+    call (map resident in VMEM across all blocks); differentiable via the
+    XLA-chain VJP."""
+    from turtlevsr_tpu.kernels.vjp import call_channel_run
+
+    return call_channel_run(x, params_list, spec, _pallas_interpret())
+
+
 def attn_block_apply(params, x, spec: BlockSpec, slot: Optional[dict]):
     t = spec.attn_type
     fused = (spec.kernels == "pallas"

@@ -128,11 +128,24 @@ def level_block_init(key, cfg: ModelConfig, lvl: LevelSpec,
 
 def level_block_apply(params, x, cfg: ModelConfig, lvl: LevelSpec,
                       slot: Optional[dict]):
+    from turtlevsr_tpu.models.blocks import channel_run_apply, channel_run_ok
+
     blocks = params["transformer_blocks"]
     n = len(blocks)
-    for i in range(n - 1):
-        x, _ = attn_block_apply(blocks[i], x,
-                                _block_spec(cfg, lvl, lvl.attn_type1), None)
+    spec1 = _block_spec(cfg, lvl, lvl.attn_type1)
+    start = 0
+    if lvl.attn_type1 == "Channel":
+        # cacheless Channel+GFFW run -> ONE level megakernel call (the
+        # map stays in VMEM across blocks); extends through the last
+        # block when it is also cacheless Channel (enc3)
+        run_end = n if lvl.attn_type2 == "Channel" else n - 1
+        if run_end >= 2 and channel_run_ok(blocks[:run_end], x, spec1):
+            x = channel_run_apply(blocks[:run_end], x, spec1)
+            start = run_end
+    for i in range(start, n - 1):
+        x, _ = attn_block_apply(blocks[i], x, spec1, None)
+    if start == n:
+        return x, None  # all-Channel level fully consumed by the run
     x, new_slot = attn_block_apply(blocks[n - 1], x,
                                    _block_spec(cfg, lvl, lvl.attn_type2), slot)
     return x, new_slot
@@ -160,12 +173,19 @@ def latent_block_init(key, cfg: ModelConfig, lvl: LevelSpec,
 
 def latent_block_apply(params, x, cfg: ModelConfig, lvl: LevelSpec,
                        slot_a: Optional[dict], slot_b: Optional[dict]):
+    from turtlevsr_tpu.models.blocks import channel_run_apply, channel_run_ok
+
     blocks = params["transformer_blocks"]
     x, new_a = attn_block_apply(blocks[0], x,
                                 _block_spec(cfg, lvl, lvl.attn_type1), slot_a)
-    for i in range(1, len(blocks) - 1):
-        x, _ = attn_block_apply(blocks[i], x,
-                                _block_spec(cfg, lvl, lvl.attn_type2), None)
+    spec2 = _block_spec(cfg, lvl, lvl.attn_type2)
+    mid = blocks[1:-1]
+    if (lvl.attn_type2 == "Channel" and len(mid) >= 2
+            and channel_run_ok(mid, x, spec2)):
+        x = channel_run_apply(mid, x, spec2)
+    else:
+        for i in range(1, len(blocks) - 1):
+            x, _ = attn_block_apply(blocks[i], x, spec2, None)
     x, new_b = attn_block_apply(blocks[-1], x,
                                 _block_spec(cfg, lvl, lvl.attn_type3), slot_b)
     return x, new_a, new_b
