@@ -122,7 +122,7 @@ def test_sab_probs_at_bench_window_grid():
     lm = local_window_mask(hq, wq, 4, jnp.float32)
     temp = jnp.float32(1.3)
     fv = jnp.asarray([0.0, 1.0, 1.0], jnp.float32)  # frame 0 invalid
-    got = sab_fused_attn_probs(q, kt, lm, temp, fv, interpret=True)
+    got = sab_fused_attn_probs(q, kt, wq, temp, fv, interpret=True)
     want = _sab_attn_probs_xla(q, kt, lm, temp, fv)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
     assert float(jnp.abs(got[:, 0]).max()) == 0.0  # invalid rows exactly zero

@@ -161,13 +161,15 @@ def test_bf16_grads_cpu():
     assert np.isfinite(np.asarray(g, np.float32)).all()
 
     hw = H * W // 8
+    wq = 16
     q = _arr(1, hw, 2 * C)
     kt = _arr(1, 1, 2 * C, hw)
-    lm = jnp.asarray(RNG.rand(hw, hw) > 0.5, jnp.bfloat16)
+    from turtlevsr_tpu.ops.attn_utils import local_window_mask
+    lm = local_window_mask(hw // wq, wq, 4, jnp.bfloat16)
 
     def loss_sab(q_):
         a = sab_attn_probs_op(q_, kt, lm, jnp.asarray(1.0, jnp.float32),
-                              jnp.ones((1,), jnp.float32), True)
+                              jnp.ones((1,), jnp.float32), (True, wq))
         return jnp.sum(a.astype(jnp.float32))
 
     g = jax.grad(loss_sab)(q)

@@ -151,13 +151,29 @@ class ModelConfig:
     # sr variant: bilinear x4 upsample factor (turtlesuper_t1_arch.py:975-977)
     sr_scale: int = 4
     # compute backend for the hot blocks: "xla" (pure jnp) or "pallas"
-    # (fused TPU kernels, numerically equivalent — see kernels/)
-    kernels: str = "xla"
+    # (fused TPU kernels, numerically equivalent — see kernels/). pallas
+    # is the measured winner on TPU for BOTH inference and the reference
+    # training recipe at r4 HEAD (591.5 vs 622.6 ms/iter, bs2/T5/192^2,
+    # BENCH_TRAIN.json) — the r2-era xla training default is closed. On
+    # CPU the pallas path is interpret-mode emulation (tests only), so
+    # the option-file default is platform-aware (_default_kernels).
+    kernels: str = "pallas"
 
     @property
     def level_dims(self) -> Tuple[int, int, int, int]:
         d = self.dim
         return (d, 2 * d, 4 * d, 8 * d)
+
+
+def _default_kernels() -> str:
+    """pallas on TPU (measured winner, BENCH_TRAIN.json); xla elsewhere
+    (the pallas path on CPU is interpret-mode emulation for tests)."""
+    try:
+        import jax
+
+        return "pallas" if jax.default_backend() != "cpu" else "xla"
+    except Exception:
+        return "pallas"
 
 
 def model_config_from_options(opt: dict) -> ModelConfig:
@@ -246,7 +262,7 @@ def model_config_from_options(opt: dict) -> ModelConfig:
         layernorm_bias=ln_bias,
         use_both_input=bool(opt.get("use_both_input", False)),
         num_frames_tocache=nftc,
-        kernels=str(opt.get("kernels", "xla")),
+        kernels=str(opt.get("kernels", _default_kernels())),
         enc1=enc1, enc2=enc2, enc3=enc3, latent=latent,
         dec3=dec3, dec2=dec2, dec1=dec1, refinement=refinement,
     )

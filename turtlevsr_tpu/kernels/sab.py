@@ -63,12 +63,30 @@ def _kernel(s_ref, m_ref, out_ref, *, k_top: int):
     out_ref[0] = _sparse_softmax_rows(s, m, k_top).astype(out_ref.dtype)
 
 
-def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, fv_ref, out_ref, *,
-                   k_top: int, nf: int, round_dtype):
+def _local_mask_rows(row0, r, hwk, wq: int, n: int):
+    """(r, hwk) fp32 local-attention mask computed from iotas: L1 grid
+    distance <= n between query tokens [row0, row0+r) and all hwk keys on
+    the (hq, wq) window grid (turtle_arch.py:441-457) — replaces a
+    (HW, HW) fp32 mask INPUT (54 MB at 720p, re-streamed from HBM for
+    every (frame, q-chunk) grid step: ~162 MB/frame) with a few VPU ops
+    on register-resident iotas (div/rem lowerings proven in-kernel by
+    _col_wrap_masks)."""
+    qidx = row0 + jax.lax.broadcasted_iota(jnp.int32, (r, hwk), 0)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (r, hwk), 1)
+    wq_ = jnp.int32(wq)
+    dy = jnp.abs(qidx // wq_ - kidx // wq_)
+    dx = jnp.abs(jax.lax.rem(qidx, wq_) - jax.lax.rem(kidx, wq_))
+    return (dy + dx <= n).astype(jnp.float32)
+
+
+def _scores_kernel(q_ref, kt_ref, temp_ref, fv_ref, out_ref, *,
+                   k_top: int, nf: int, round_dtype, r: int, wq: int,
+                   n_local: int):
     """Fused scores + top-k + local-mask + clipped softmax for one q chunk
     of one (batch, frame): s = (q @ k^T) * temperature on the MXU, then the
     sparse-softmax chain of _kernel — the (NF, HW, HW) fp32 score tensor
-    never exists in HBM (the XLA chain writes + rereads it twice). The
+    never exists in HBM (the XLA chain writes + rereads it twice), and the
+    local mask is derived from iotas in-kernel (_local_mask_rows). The
     per-frame validity scalar multiplies the probabilities in-kernel
     (free VPU op): invalid ring frames emit all-zero attention rows, so
     their @v output maps are exactly zero and the downstream full-map
@@ -81,7 +99,7 @@ def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, fv_ref, out_ref, *,
     # match the XLA path bit-for-bit: scores are rounded to the model dtype
     # before the sparse softmax (sab_t1_apply: attn.astype(x.dtype))
     s = s.astype(round_dtype).astype(jnp.float32)
-    m = m_ref[0].astype(jnp.float32)
+    m = _local_mask_rows(pl.program_id(1) * r, r, s.shape[1], wq, n_local)
     # whole (1, nf) row lives in SMEM (TPU block specs need block == array
     # for sub-(8,128) shapes); the frame scalar is a dynamic SMEM load
     fv = fv_ref[0, jax.lax.rem(pl.program_id(0), jnp.int32(nf))]
@@ -89,10 +107,12 @@ def _scores_kernel(q_ref, kt_ref, m_ref, temp_ref, fv_ref, out_ref, *,
     out_ref[0] = probs.astype(out_ref.dtype)
 
 
-def sab_fused_attn_probs(q, kt, local_mask, temp, fvalid=None,
-                         k_top: int = 5, interpret: bool = False):
+def sab_fused_attn_probs(q, kt, grid_wq, temp, fvalid=None,
+                         k_top: int = 5, n_local: int = 4,
+                         interpret: bool = False):
     """q: (B, HWq, D); kt: (B, NF, D, HWk) (keys pre-transposed, both
-    l2-normalised); local_mask: (HWq, HWk); temp: () temperature;
+    l2-normalised); grid_wq: static width of the (hq, wq) window grid
+    (the local mask is computed in-kernel from it); temp: () temperature;
     fvalid: optional (NF,) per-frame validity — folded into the
     probabilities in-kernel (invalid frames get all-zero rows). Returns
     (B, NF, HWq, HWk) attention probabilities in q.dtype with the
@@ -109,15 +129,14 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, fvalid=None,
         fv = jnp.asarray(fvalid, jnp.float32).reshape(1, nf)
     return pl.pallas_call(
         functools.partial(_scores_kernel, k_top=k_top, nf=nf,
-                          round_dtype=q.dtype),
+                          round_dtype=q.dtype, r=r, wq=int(grid_wq),
+                          n_local=n_local),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, r, d), lambda bn, i, nf=nf: (bn // nf, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, d, hwk),
                          lambda bn, i, nf=nf: (bn // nf, bn % nf, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r, hwk), lambda bn, i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda bn, i: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -131,7 +150,7 @@ def sab_fused_attn_probs(q, kt, local_mask, temp, fvalid=None,
             vmem_limit_bytes=_VMEM_LIMIT,
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(q, kt, local_mask[None], temp2, fv).reshape(b, nf, hwq, hwk)
+    )(q, kt, temp2, fv).reshape(b, nf, hwq, hwk)
 
 
 def _av_kernel(a_ref, v_ref, out_ref):

@@ -436,10 +436,15 @@ conv3_op.defvjp(_conv3_fwd, _conv3_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def sab_attn_probs_op(q, kt, local_mask, temp, fvalid, interpret=False):
+def sab_attn_probs_op(q, kt, local_mask, temp, fvalid, statics=(False, 0)):
+    """statics: (interpret, grid_wq). The kernel computes the local mask
+    from iotas in-kernel (grid_wq static); the local_mask ARRAY is kept
+    as a traced arg only for the XLA-reference backward — in an
+    inference-only graph it is dead and XLA DCEs its construction."""
     from turtlevsr_tpu.kernels.sab import sab_fused_attn_probs
 
-    return sab_fused_attn_probs(q, kt, local_mask, temp, fvalid,
+    interpret, grid_wq = statics
+    return sab_fused_attn_probs(q, kt, grid_wq, temp, fvalid,
                                 interpret=interpret)
 
 
@@ -457,12 +462,12 @@ def _sab_attn_probs_xla(q, kt, local_mask, temp, fvalid):
     return probs * fvalid.astype(probs.dtype)[None, :, None, None]
 
 
-def _sab_attn_probs_fwd(q, kt, local_mask, temp, fvalid, interpret):
-    return (sab_attn_probs_op(q, kt, local_mask, temp, fvalid, interpret),
+def _sab_attn_probs_fwd(q, kt, local_mask, temp, fvalid, statics):
+    return (sab_attn_probs_op(q, kt, local_mask, temp, fvalid, statics),
             (q, kt, local_mask, temp, fvalid))
 
 
-def _sab_attn_probs_bwd(interpret, res, g):
+def _sab_attn_probs_bwd(statics, res, g):
     q, kt, local_mask, temp, fvalid = res
     _, vjp = jax.vjp(_sab_attn_probs_xla, q, kt, local_mask, temp, fvalid)
     return vjp(g)

@@ -616,7 +616,7 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
 
         kt = k_all.transpose(0, 1, 3, 2)  # (B, NF, D, HW)
         a = sab_attn_probs_op(q, kt, lm, temp, fvalid.astype(jnp.float32),
-                              _pallas_interpret())
+                              (_pallas_interpret(), wq))
     else:
         attn = jnp.einsum("bqd,bnkd->bnqk", q, k_all,
                           preferred_element_type=ad) * temp
