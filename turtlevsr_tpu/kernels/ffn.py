@@ -373,6 +373,31 @@ def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
     return acc
 
 
+def _tm_bias_map_img(sv, sw, w, mt, mb):
+    """Like _tm_bias_map but with the top/bottom border-row masks given
+    DIRECTLY as (sw, 1) fp32 (image-row identities, not strip-relative
+    positions) — the two-stage chained kernel's output windows start at
+    image row i*s - 1, where the f0/(r < w) encoding breaks."""
+    ml, mr, _, _ = _border_masks(sw, w)
+    s_all, s_l, s_r, s_t, s_b, s_tl, s_tr, s_bl, s_br = [
+        v[:].astype(jnp.float32) for v in sv]
+    return (s_all - ml * s_l - mr * s_r - mt * s_t - mb * s_b
+            + (mt * ml) * s_tl + (mt * mr) * s_tr
+            + (mb * ml) * s_bl + (mb * mr) * s_br)
+
+
+def _img_row_masks(i, s_rows, w, h_img, n_rows, halo):
+    """Row masks over an n_rows buffer whose row r maps to image row
+    i*s_rows - halo + r // w: (valid, mt, mb) fp32 (n_rows, 1) — valid
+    marks in-image rows, mt/mb the first/last image row."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+    img = i * s_rows - halo + r // jnp.int32(w)
+    valid = ((img >= 0) & (img < h_img)).astype(jnp.float32)
+    mt = (img == 0).astype(jnp.float32)
+    mb = (img == h_img - 1).astype(jnp.float32)
+    return valid, mt, mb
+
+
 def _tm_bias_map(sv, sw, w, f0, fl):
     """pw1/dw bias boundary reconstruction (token-major): the reference
     zero-pads AFTER pw1 (turtle_arch.py:170-172), so the halo taps carry no
@@ -414,7 +439,7 @@ def _proj_tap_args(p, wd9, e_dim, has_b1, zeros):
 
 
 def _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x, *, w, sw, n, e_dim,
-              sv=None, f0=None, fl=None):
+              sv=None, f0=None, fl=None, mt_mb=None):
     """TOKEN-MAJOR pw1 + dw3x3 tap chain (the pixels-major twin of
     _cm_chain, shared by every fused kernel): ONE pw1 MXU matmul into the
     (n, e) fp32 hidden scratch, then the depthwise 3x3 as 9 multiply-add
@@ -436,7 +461,10 @@ def _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x, *, w, sw, n, e_dim,
             k = (di + 1) * 3 + (dj + 1)
             acc = acc + base[lo:lo + sw, :] * wd9h[k].astype(jnp.float32)
     if sv is not None:
-        acc = acc + _tm_bias_map(sv, sw, w, f0, fl)
+        if mt_mb is not None:
+            acc = acc + _tm_bias_map_img(sv, sw, w, *mt_mb)
+        else:
+            acc = acc + _tm_bias_map(sv, sw, w, f0, fl)
     return acc
 
 

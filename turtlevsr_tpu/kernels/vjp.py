@@ -154,6 +154,69 @@ def call_fused_ffn(x, *, mode, residual=True, interpret=False, ln_w=None,
     return ffn_op(x, p, (mode, residual, ln_mode, interpret))
 
 
+def _stage_to_ffn_p(st, ffw):
+    p = {k: v for k, v in dict(
+        ln_w=st.get("ln_w"), ln_b=st.get("ln_b"), w1=st["w1"],
+        b1=st.get("b1"), wd=st["wd"], bd=st.get("bd"), w2=st["w2"],
+        b2=st.get("b2"), scale=st.get("scale")).items() if v is not None}
+    if ffw is not None:
+        p["ffw2"] = ffw
+    return p
+
+
+def _two_stage_xla(x, p, modes):
+    """XLA reference of the two-stage chained kernel: each stage is
+    exactly the _ffn_xla chain (incl. the chained pointwise FFW)."""
+    for st_key, f_key, mode in (("st1", "ffw1", modes[0]),
+                                ("st2", "ffw2", modes[1])):
+        pp = _stage_to_ffn_p(p[st_key], p.get(f_key))
+        ln_mode = ("none" if pp.get("ln_w") is None
+                   else ("bias_free" if pp.get("ln_b") is None
+                         else "with_bias"))
+        x = _ffn_xla(x, pp, mode, True, ln_mode)
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def two_stage_op(x, p, statics):
+    from turtlevsr_tpu.kernels.chain2 import fused_two_stage
+
+    interpret, m1, m2 = statics
+    st1 = dict(p["st1"], mode=m1)
+    st2 = dict(p["st2"], mode=m2)
+    return fused_two_stage(x, st1, st2, ffw1=p.get("ffw1"),
+                           ffw2=p.get("ffw2"), interpret=interpret)
+
+
+def _two_stage_fwd(x, p, statics):
+    return two_stage_op(x, p, statics), (x, p)
+
+
+def _two_stage_bwd(statics, res, g):
+    _, m1, m2 = statics
+    x, p = res
+    _, vjp = jax.vjp(lambda x_, p_: _two_stage_xla(x_, p_, (m1, m2)), x, p)
+    return vjp(g)
+
+
+two_stage_op.defvjp(_two_stage_fwd, _two_stage_bwd)
+
+
+def call_two_stage(x, st1, st2, ffw1=None, ffw2=None, interpret=False):
+    """Differentiable two-stage chained kernel (kernels/chain2.py): a
+    pair of ReducedAttn+FFW blocks, or one ReducedAttn+GFFW block, in
+    ONE map traversal. st dicts carry arrays + a 'mode' string (hoisted
+    to statics here — strings can't ride the traced pytree)."""
+    m1, m2 = st1["mode"], st2["mode"]
+    p = {"st1": {k: v for k, v in st1.items() if k != "mode" and v is not None},
+         "st2": {k: v for k, v in st2.items() if k != "mode" and v is not None}}
+    if ffw1 is not None:
+        p["ffw1"] = {k: v for k, v in ffw1.items() if v is not None}
+    if ffw2 is not None:
+        p["ffw2"] = {k: v for k, v in ffw2.items() if v is not None}
+    return two_stage_op(x, p, (interpret, m1, m2))
+
+
 def _split_proj_xla(x, p, ln_mode):
     """XLA reference of fused_ln_split_proj: one LN, N pw+dw chains."""
     xn = _ln_xla(x, p, ln_mode)

@@ -1119,6 +1119,94 @@ def _fused_reduced_attn_half(params, x, spec: BlockSpec, chain_ffw=False):
         interpret=_pallas_interpret())
 
 
+def _ra_stage_dict(params):
+    """ReducedAttn half as a chain2 stage dict."""
+    ln = params["norm1"]["body"]
+    a = params["attn"]
+    cw = a["conv1"]["weight"]
+    c, dw = cw.shape[2], cw.shape[3]
+    return {"ln_w": ln["weight"], "ln_b": ln.get("bias"), "mode": "gelu",
+            "w1": cw.reshape(c, dw), "b1": a["conv1"]["bias"],
+            "wd": a["conv2"]["weight"].reshape(3, 3, dw),
+            "bd": a["conv2"]["bias"],
+            "w2": a["conv3"]["weight"].reshape(dw, c),
+            "b2": a["conv3"]["bias"], "scale": a["beta"]}
+
+
+def _ffw_dict(params):
+    ln = params["norm2"]["body"]
+    f = params["ffn"]
+    c = f["conv4"]["weight"].shape[2]
+    return {"ln_w": ln["weight"], "ln_b": ln.get("bias"),
+            "w1": f["conv4"]["weight"].reshape(c, 2 * c),
+            "b1": f["conv4"]["bias"],
+            "w2": f["conv5"]["weight"].reshape(2 * c, c),
+            "b2": f["conv5"]["bias"], "scale": f["gamma"]}
+
+
+def _gffw_stage_dict(params):
+    ln = params["norm2"]["body"]
+    f = params["ffn"]
+    w1 = f["project_in"]["weight"]
+    c, hid = w1.shape[2], w1.shape[3]
+    return {"ln_w": ln["weight"], "ln_b": ln.get("bias"), "mode": "gate",
+            "w1": w1.reshape(c, hid), "b1": f["project_in"].get("bias"),
+            "wd": f["dwconv"]["weight"].reshape(3, 3, hid),
+            "bd": f["dwconv"].get("bias"),
+            "w2": f["project_out"]["weight"].reshape(hid // 2, c),
+            "b2": f["project_out"].get("bias")}
+
+
+def ra_pair_ok(p1, p2, x, spec: BlockSpec) -> bool:
+    """Gate: TWO consecutive ReducedAttn+FFW blocks as ONE kernel
+    (kernels/chain2.py — two-row halos). MEASURED NEGATIVE on chip (r4):
+    enc1 pair 24.3 ms vs 18.4 for two single-block chained kernels —
+    dw->dw chaining shrinks strips, adds redundant halo compute, and
+    lengthens the per-program dependency chain Mosaic pipelines across
+    grid steps; only the POINTWISE FFW append (ffw2 in fused_block_ffn)
+    wins. Opt-in: TURTLE_CHAIN2=1."""
+    if (spec.kernels != "pallas" or spec.ffw_type != "FFW"
+            or _os.environ.get("TURTLE_CHAIN2", "0") != "1"):
+        return False
+    from turtlevsr_tpu.kernels.chain2 import two_stage_supported
+
+    c = spec.dim
+    dw1 = p1["attn"]["conv1"]["weight"].shape[3]
+    dw2 = p2["attn"]["conv1"]["weight"].shape[3]
+    return two_stage_supported(x.shape[1], x.shape[2], c, dw1, dw2,
+                               2 * c, 2 * c)
+
+
+def ra_pair_apply(p1, p2, x, spec: BlockSpec):
+    from turtlevsr_tpu.kernels.vjp import call_two_stage
+
+    return call_two_stage(x, _ra_stage_dict(p1), _ra_stage_dict(p2),
+                          ffw1=_ffw_dict(p1), ffw2=_ffw_dict(p2),
+                          interpret=_pallas_interpret())
+
+
+def ra_gffw_ok(p, x, spec: BlockSpec) -> bool:
+    """Gate: one ReducedAttn+GFFW block (refinement) as ONE kernel.
+    MEASURED NEGATIVE on chip (r4): 19.9 ms vs 12.9 for the split RA/GFFW
+    halves (see ra_pair_ok) — opt-in via TURTLE_CHAIN2=1."""
+    if (spec.kernels != "pallas" or spec.ffw_type != "GFFW"
+            or _os.environ.get("TURTLE_CHAIN2", "0") != "1"):
+        return False
+    from turtlevsr_tpu.kernels.chain2 import two_stage_supported
+
+    c = spec.dim
+    dw = p["attn"]["conv1"]["weight"].shape[3]
+    hid = p["ffn"]["project_in"]["weight"].shape[3]
+    return two_stage_supported(x.shape[1], x.shape[2], c, dw, hid // 2)
+
+
+def ra_gffw_apply(p, x, spec: BlockSpec):
+    from turtlevsr_tpu.kernels.vjp import call_two_stage
+
+    return call_two_stage(x, _ra_stage_dict(p), _gffw_stage_dict(p),
+                          interpret=_pallas_interpret())
+
+
 def channel_run_ok(params_list, x, spec: BlockSpec) -> bool:
     """Gate for the level megakernel (kernels/level.py): a run of >=2
     cacheless Channel+GFFW blocks, bias-free convs (the shipped configs),

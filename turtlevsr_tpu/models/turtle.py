@@ -128,11 +128,36 @@ def level_block_init(key, cfg: ModelConfig, lvl: LevelSpec,
 
 def level_block_apply(params, x, cfg: ModelConfig, lvl: LevelSpec,
                       slot: Optional[dict]):
-    from turtlevsr_tpu.models.blocks import channel_run_apply, channel_run_ok
+    from turtlevsr_tpu.models.blocks import (
+        channel_run_apply,
+        channel_run_ok,
+        ra_gffw_apply,
+        ra_gffw_ok,
+        ra_pair_apply,
+        ra_pair_ok,
+    )
 
     blocks = params["transformer_blocks"]
     n = len(blocks)
     spec1 = _block_spec(cfg, lvl, lvl.attn_type1)
+    if (lvl.attn_type1 == "ReducedAttn" and lvl.attn_type2 == "ReducedAttn"
+            and cfg.kernels == "pallas"):
+        # conv-only level: chain block PAIRS (FFW) or the RA+GFFW halves
+        # of each block (refinement) into single two-stage kernels
+        i = 0
+        while i < n:
+            if (lvl.ffw_type == "FFW" and i + 1 < n
+                    and ra_pair_ok(blocks[i], blocks[i + 1], x, spec1)):
+                x = ra_pair_apply(blocks[i], blocks[i + 1], x, spec1)
+                i += 2
+                continue
+            if lvl.ffw_type == "GFFW" and ra_gffw_ok(blocks[i], x, spec1):
+                x = ra_gffw_apply(blocks[i], x, spec1)
+                i += 1
+                continue
+            x, _ = attn_block_apply(blocks[i], x, spec1, None)
+            i += 1
+        return x, None
     start = 0
     if lvl.attn_type1 == "Channel":
         # cacheless Channel+GFFW run -> ONE level megakernel call (the
