@@ -108,14 +108,32 @@ def _erf_rational(v):
 _erf = (_erf_as if _os.environ.get("TURTLE_ERF") == "as"
         else _erf_rational)
 
+# DEBUG-ONLY cost ablation (tools/ablate_ffn.py): TURTLE_ABLATE=
+#   "notaps"  -> only the centre dw tap (no rolls/masks/neighbour adds)
+#   "nogelu"  -> identity activation
+#   "noln"    -> LN replaced by a plain fp32 cast
+# All three BREAK numerics — they exist to attribute the kernels' VPU
+# time between the tap machinery, the gelu polynomial and the LN. Never
+# set in production; the bench artifacts stamp env overrides.
+_ABLATE = _os.environ.get("TURTLE_ABLATE", "")
+
 
 def _gelu_exact(v):
+    if _ABLATE == "nogelu":
+        return v
     return 0.5 * v * (1.0 + _erf(v * (2.0 ** -0.5)))
 
 
 def _ln_2d_f32(x, ln_w, ln_b, ln_mode):
+    """Channel LN on (rows, c) fp32. The r4 ablation (tools/ablate_ffn.py)
+    attributed ~3.2 ms of the 10.9 ms dec1 gate kernel to this (lane
+    reduces over a half-empty c=64 vreg); routing the mean/var reductions
+    through ones-column MXU dots was tried and measured 10.92 -> 10.18 ms
+    in ISOLATION but 5.641 -> 5.454 fps on the WHOLE graph — in context
+    the MXU is the contended unit and the VPU lane-reduces overlap for
+    free. Lane reduces stay; do not re-route LN to the MXU."""
     xf = x.astype(jnp.float32)
-    if ln_mode == "none":
+    if ln_mode == "none" or _ABLATE == "noln":
         return xf
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
@@ -356,6 +374,8 @@ def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
         # semantics at the image top/bottom)
         h1t_ref[:, 0:w] = h1t_ref[:, 0:w] * (1.0 - f0)
         h1t_ref[:, n - w:n] = h1t_ref[:, n - w:n] * (1.0 - fl)
+    if _ABLATE == "notaps":  # debug cost attribution only
+        return h1t_ref[:, w:w + sw] * wdTh[4][:]
     acc = jnp.zeros((e_dim, sw), jnp.float32)
     for dj in (-1, 0, 1):
         if dj == -1:
@@ -448,6 +468,8 @@ def _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x, *, w, sw, n, e_dim,
     ref. Returns the fp32 (sw, e) accumulator (bias boundary corrections
     included when sv is given)."""
     h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
+    if _ABLATE == "notaps":  # debug cost attribution only
+        return h1_ref[w:w + sw, :] * wd9h[4].astype(jnp.float32)
     acc = jnp.zeros((sw, e_dim), jnp.float32)
     for dj in (-1, 0, 1):
         if dj == -1:
