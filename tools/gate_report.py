@@ -59,8 +59,7 @@ def main():
             types.add(lvl.attn_type3)
         print(f"{name}: {h}x{w}x{c} blocks={lvl.num_blocks} "
               f"attn={sorted(types)} ffw={lvl.ffw_type} ws={ws}")
-        hid = int(c * exp)
-        e_half = (hid * 2) // 2  # GFFW per-gate-half width == hid
+        hid = int(c * exp)  # GFFW per-gate-half width == hid
         if "ReducedAttn" in types:
             dw = 2 * c
             ok = F.ffn_pallas_supported(h, w, c, dw, True)
