@@ -265,3 +265,18 @@ def test_denoise_noise_presampled_and_stable(workdir, tmp_path):
     assert stable_video_seed(0, "vid_a") != stable_video_seed(0, "vid_b")
     p4 = prepare_noisy_frames(frames, "vid_b", 50.0, root, "Set8", seed=0)
     assert np.abs(np.load(p4[0]) - first).max() > 1e-4
+
+
+def test_gate_report_smoke(tmp_path):
+    """tools/gate_report.py runs device-free and reports per-site gates."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    script = os.path.join(root, "tools", "gate_report.py")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         f"import sys; sys.argv = [{script!r}, '96', '160'];"
+         f"g = dict(__file__={script!r}, __name__='__main__');"
+         f"exec(open({script!r}).read(), g)"],
+        capture_output=True, text=True, timeout=300, cwd=root)
+    assert r.returncode == 0, r.stderr
+    assert "PALLAS" in r.stdout and "glue" in r.stdout
