@@ -157,7 +157,7 @@ def main():
           f" ms at peak / {r['mxu_ms_at_mix_93tf']} ms at whole-model mix")
     print(f"CEILING: {r['ceiling_fps_mxu_peak']} fps (peak MXU) / "
           f"{r['ceiling_fps_mxu_mix']} fps (measured mix)")
-    for f in ("TRAFFIC_r03.json", "TRAFFIC_r02.json"):
+    for f in ("TRAFFIC_r04.json", "TRAFFIC_r03.json", "TRAFFIC_r02.json"):
         if os.path.exists(f):
             with open(f) as fh:
                 t = json.load(fh)
