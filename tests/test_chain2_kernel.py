@@ -127,3 +127,40 @@ def test_ra_gffw_bf16():
     y = B._fused_reduced_attn_half(p, x, spec)
     want = np.asarray(B._fused_ffn_half(p, y, spec), np.float32)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-2)
+
+
+def test_chain2_default_off():
+    """The dw->dw chain is a measured on-chip negative: OFF unless
+    TURTLE_CHAIN2=1 opts in."""
+    c = 8
+    x = jnp.zeros((1, 12, 16, c), jnp.float32)
+    spec = _spec(c, "FFW")
+    p1 = B.attn_block_init(jax.random.PRNGKey(0), spec)
+    p2 = B.attn_block_init(jax.random.PRNGKey(1), spec)
+    del os.environ["TURTLE_CHAIN2"]  # fixture set it; test the default
+    try:
+        assert not B.ra_pair_ok(p1, p2, x, spec)
+    finally:
+        os.environ["TURTLE_CHAIN2"] = "1"
+    assert B.ra_pair_ok(p1, p2, x, spec)
+
+
+def test_t0_dead_k_cache_is_vestigial():
+    """Quirk Q1: the t0 SAB K cache is never read — init_cache must keep
+    it tiny (a re-materialised (NF, HW, ws^2*c) buffer would silently
+    cost ~120 MB/frame of ring writes per CHM level)."""
+    import dataclasses
+
+    import turtlevsr_tpu as tv
+    from turtlevsr_tpu.models import build_model
+
+    opt = tv.load_options("options/Turtle_Desnow.yml", is_train=False)
+    cfg, _, init_cache, _ = build_model(opt)
+    cache = init_cache(cfg, 1, 96, 160, dtype=jnp.float32)
+    # slots 5/6/7 are the dec3/dec2/dec1 CHM (SAB) slots in the desnow
+    # config; the latent FHR slots (3/4) keep their real K caches
+    for i in (5, 6, 7):
+        slot = cache[i]
+        assert slot is not None
+        assert slot["k"].size <= 8 * slot["k"].shape[1] * 8,             (i, slot["k"].shape)
+        assert slot["v"].shape[2] > 8  # the V cache stays real

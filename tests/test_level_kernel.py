@@ -123,3 +123,18 @@ def test_channel_run_bf16():
         os.environ["TURTLE_MEGAKERNEL"] = "1"
     np.testing.assert_allclose(got, np.asarray(want, np.float32),
                                rtol=0, atol=2e-2)
+
+
+def test_negative_kernels_default_off():
+    """The megakernel is a measured on-chip negative: it must stay OFF
+    unless TURTLE_MEGAKERNEL=1 explicitly opts in."""
+    c = 128
+    x = jnp.zeros((1, 16, 32, c), jnp.float32)
+    ps = _mk_blocks(2, c, 2)
+    spec = _spec(c, 2, "pallas")
+    del os.environ["TURTLE_MEGAKERNEL"]  # fixture set it; test the default
+    try:
+        assert not B.channel_run_ok(ps, x, spec)
+    finally:
+        os.environ["TURTLE_MEGAKERNEL"] = "1"
+    assert B.channel_run_ok(ps, x, spec)
