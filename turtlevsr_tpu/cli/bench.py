@@ -161,16 +161,23 @@ def bench_numerics(args, opt, cfg, dtype):
     except Exception:
         pass
     art["date"] = _time.strftime("%Y-%m-%d")
-    # one line per option file (VERDICT r3 #8: cover t0/SR beyond the
-    # flagship) — merge by opt into a list artifact
+    # one line per (option file, geometry) — merge into a list artifact.
+    # NOTE the artifact is a LIST of per-config entries since r4 (the r3
+    # schema was a single object); the merge keys on opt+size+metric so
+    # same-basename opts at different geometries don't clobber each other
+    # (ADVICE r4).
+    def _key(e):
+        return (e.get("opt", "?"), tuple(e.get("size", ())),
+                e.get("metric", "?"))
+
     try:
         with open(args.numerics_json) as f:
             old = json.load(f)
         entries = old if isinstance(old, list) else [old]
     except Exception:
         entries = []
-    merged = {e.get("opt", "?"): e for e in entries}
-    merged[art["opt"]] = art
+    merged = {_key(e): e for e in entries}
+    merged[_key(art)] = art
     with open(args.numerics_json, "w") as f:
         json.dump(list(merged.values()), f, indent=1)
     print(json.dumps({"metric": art["metric"], "opt": art["opt"],

@@ -156,8 +156,10 @@ class ModelConfig:
     # training recipe at r4 HEAD (591.5 vs 622.6 ms/iter, bs2/T5/192^2,
     # BENCH_TRAIN.json) — the r2-era xla training default is closed. On
     # CPU the pallas path is interpret-mode emulation (tests only), so
-    # the option-file default is platform-aware (_default_kernels).
-    kernels: str = "pallas"
+    # the default is platform-aware here too, not just in the option-file
+    # path (ADVICE r4: a bare ModelConfig() on CPU used to silently run
+    # interpret-mode pallas).
+    kernels: str = field(default_factory=lambda: _default_kernels())
 
     @property
     def level_dims(self) -> Tuple[int, int, int, int]:
@@ -167,13 +169,15 @@ class ModelConfig:
 
 def _default_kernels() -> str:
     """pallas on TPU (measured winner, BENCH_TRAIN.json); xla elsewhere
-    (the pallas path on CPU is interpret-mode emulation for tests)."""
+    (the pallas path on CPU is interpret-mode emulation for tests). If
+    jax itself fails to import, pallas certainly cannot run — fall back
+    to xla (ADVICE r4)."""
     try:
         import jax
 
         return "pallas" if jax.default_backend() != "cpu" else "xla"
     except Exception:
-        return "pallas"
+        return "xla"
 
 
 def model_config_from_options(opt: dict) -> ModelConfig:

@@ -120,6 +120,14 @@ def sab_fused_attn_probs(q, kt, grid_wq, temp, fvalid=None,
     (turtle_t1_arch.py:588-596)."""
     b, hwq, d = q.shape
     nf, hwk = kt.shape[1], kt.shape[3]
+    if int(grid_wq) <= 0:
+        raise ValueError(f"grid_wq must be a positive static ({grid_wq})")
+    if hwq != hwk:
+        # _local_mask_rows places queries AND keys on the same (hq, wq)
+        # grid; a differing key grid would get a silently wrong mask
+        # (ADVICE r4). All t1 call sites have hwq == hwk.
+        raise ValueError(f"query/key token grids differ ({hwq} vs {hwk}); "
+                         "the in-kernel local mask assumes one grid")
     r = _pick_rows(hwq, hwk)
     grid = (b * nf, hwq // r)
     temp2 = jnp.asarray(temp, jnp.float32).reshape(1, 1)

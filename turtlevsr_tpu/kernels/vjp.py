@@ -499,11 +499,13 @@ conv3_op.defvjp(_conv3_fwd, _conv3_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def sab_attn_probs_op(q, kt, local_mask, temp, fvalid, statics=(False, 0)):
-    """statics: (interpret, grid_wq). The kernel computes the local mask
-    from iotas in-kernel (grid_wq static); the local_mask ARRAY is kept
-    as a traced arg only for the XLA-reference backward — in an
-    inference-only graph it is dead and XLA DCEs its construction."""
+def sab_attn_probs_op(q, kt, local_mask, temp, fvalid, statics):
+    """statics: (interpret, grid_wq) — REQUIRED (no default: a defaulted
+    grid_wq=0 would reach the in-kernel mask's `qidx // wq`, ADVICE r4).
+    The kernel computes the local mask from iotas in-kernel (grid_wq
+    static); the local_mask ARRAY is kept as a traced arg only for the
+    XLA-reference backward — in an inference-only graph it is dead and
+    XLA DCEs its construction."""
     from turtlevsr_tpu.kernels.sab import sab_fused_attn_probs
 
     interpret, grid_wq = statics

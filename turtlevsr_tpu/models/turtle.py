@@ -294,7 +294,13 @@ def init_cache(cfg: ModelConfig, batch: int, height: int, width: int,
 
     Heights/widths are the RAW frame sizes fed to the model; internal padding
     and the sr-variant upsampling are accounted for. Slot order matches the
-    reference's k_cached[0..7] (turtle_arch.py:989-1048)."""
+    reference's k_cached[0..7] (turtle_arch.py:989-1048). SHAPE DIVERGENCE
+    (t0 only, ADVICE r4): the t0 CHM slots' K field is a vestigial
+    (B, NF, 8, 8) zero buffer, NOT the reference's (NF, HW, 2c) K cache —
+    that cache only feeds dead attention (quirk Q1, out = v at
+    turtle_arch.py:523). Caches serialized by a build predating this, or
+    code comparing slot shapes against the reference's returned K, will
+    mismatch on that field."""
     hp, wp = padded_hw(cfg, height, width)
     h1, w1 = hp, wp
     h2, w2 = hp // 2, wp // 2
