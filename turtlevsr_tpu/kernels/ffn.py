@@ -148,6 +148,47 @@ def _ln_2d(x, ln_w, ln_b, ln_mode):
     return _ln_2d_f32(x, ln_w, ln_b, ln_mode).astype(x.dtype)
 
 
+# r5: TRANSPOSED (sublane) LN for the channels-major kernels. The LN
+# reductions over c=64 lanes half-fill every vreg (~6 lane-rotate+adds
+# per 8 pixels); transposing the block to (c, rows) via the exact
+# identity-contraction trick (_cm_to_rows, proven on chip) turns them
+# into SUBLANE reductions (~10 vector ops per 128 pixels, ~10x fewer)
+# and runs the normalize pass at full lane occupancy. The transpose
+# itself is MXU work (c x c x rows — 128x128 slots/pixel at c=64, about
+# half of what the measured-negative MXU-LN ones-dots added), so this is
+# a VPU-for-MXU trade judged ONLY by the whole-graph bench.
+# TURTLE_LN_T=0 restores the lane-reduce LN for A/B.
+_LN_T = _os.environ.get("TURTLE_LN_T", "1") != "0"
+
+
+def _ident2(c: int, dtype):
+    """(c, c) identity from iotas (in-kernel; exact in bf16)."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)).astype(dtype)
+
+
+def _t_cols(xpart, ident, interpret):
+    """(rows, c) -> (c, rows) fp32: contract the identity's dim 1 with the
+    block's channel dim — each output element is a single 1.0 * x product,
+    so the transpose is numerically EXACT."""
+    return _dg_f32(ident, xpart, ((1,), (1,)), interpret)
+
+
+def _ln_t_f32(xT, ln_w, ln_b, ln_mode):
+    """Channel LN on a TRANSPOSED (c, rows) fp32 block: mean/var reduce
+    over SUBLANES, ln_w/ln_b arrive as (c, 1) columns (host-reshaped —
+    an in-kernel (1,c)<->(c,1) transpose is a Mosaic hang trigger)."""
+    if ln_mode == "none" or _ABLATE == "noln":
+        return xT
+    mu = jnp.mean(xT, axis=0, keepdims=True)
+    var = jnp.mean(jnp.square(xT - mu), axis=0, keepdims=True)
+    inv = jax.lax.rsqrt(var + _LN_EPS)
+    g = ln_w[:].astype(jnp.float32)
+    if ln_mode == "bias_free":
+        return xT * inv * g
+    return (xT - mu) * inv * g + ln_b[:].astype(jnp.float32)
+
+
 def _col_wrap_masks(n: int, w: int):
     """In-kernel column-wrap masks, fp32 (n, 1): cml zeroes rows at col 0
     (where the +1-shift roll wraps in the previous row's last pixel), cmr
@@ -351,7 +392,8 @@ def _dg_f32(a, b, dims, interpret: bool):
 
 
 def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
-              interpret=False, b1_col=None, bd_col=None, f0=None, fl=None):
+              interpret=False, b1_col=None, bd_col=None, f0=None, fl=None,
+              xn_t=False):
     """CHANNELS-MAJOR pw1 + dw3x3 chain: the hidden activations live
     transposed (e, rows) so a badly-lane-padding e (64 -> 128, 160 -> 256)
     rides SUBLANES (granularity 8, zero waste) through the VPU-bound tap
@@ -367,7 +409,8 @@ def _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l, *, w, sw, n, e_dim,
     pw1+bias, turtle_arch.py:170-172), and the existing roll wrap masks
     already zero the out-of-image column taps bias-and-all. The dw bias
     is one (e, 1) broadcast add on the accumulator."""
-    h1t_ref[:] = _dg_f32(w1h[:], xn_cdt, ((0,), (1,)), interpret)
+    h1t_ref[:] = _dg_f32(w1h[:], xn_cdt, ((0,), (0 if xn_t else 1,)),
+                         interpret)
     if b1_col is not None:
         h1t_ref[:] = h1t_ref[:] + b1_col[:].astype(jnp.float32)
         # zeroed border halos must stay zero post-bias (exact padded-conv
@@ -522,7 +565,8 @@ def _cm_sq_row(aT):
 
 def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
                        w_img, e_dim, residual, n_pair, pair_4d=(),
-                       has_po=False, has_b1=False, interpret=False):
+                       has_po=False, has_b1=False, ln_t=False,
+                       interpret=False):
     """CHANNELS-MAJOR gate/linear/gelu strip program.
 
     Same chain as _dw_kernel's gate mode, but the hidden activations live
@@ -596,21 +640,35 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
         x_bot = pair_sum(xb, 2)
     else:
         x_top, x_mid, x_bot = xa[0], xm[0], xb[0]
-    xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
-    xn_ref[w:w + sw, :] = _ln_2d_f32(x_mid, ln_w, ln_b, ln_mode)
-    xn_ref[w + sw:n, :] = _ln_2d_f32(x_bot, ln_w, ln_b, ln_mode)
+    cdt = xm.dtype
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
-    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
-    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+    if ln_t:
+        # transposed scratch (c, n): the LN reduces ride sublanes (see
+        # _ln_t_f32); lane slices at 0 / w / w+sw are 128-multiples by
+        # the chan-major w % 128 gate. ln_w/ln_b arrive as (c, 1).
+        idm = _ident2(xm.shape[-1], cdt)
+        xn_ref[:, 0:w] = _ln_t_f32(_t_cols(x_top, idm, interpret),
+                                   ln_w, ln_b, ln_mode)
+        xn_ref[:, w:w + sw] = _ln_t_f32(_t_cols(x_mid, idm, interpret),
+                                        ln_w, ln_b, ln_mode)
+        xn_ref[:, w + sw:n] = _ln_t_f32(_t_cols(x_bot, idm, interpret),
+                                        ln_w, ln_b, ln_mode)
+        xn_ref[:, 0:w] = xn_ref[:, 0:w] * (1.0 - f0)
+        xn_ref[:, w + sw:n] = xn_ref[:, w + sw:n] * (1.0 - fl)
+    else:
+        xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
+        xn_ref[w:w + sw, :] = _ln_2d_f32(x_mid, ln_w, ln_b, ln_mode)
+        xn_ref[w + sw:n, :] = _ln_2d_f32(x_bot, ln_w, ln_b, ln_mode)
+        xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
+        xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
 
-    cdt = xm.dtype
     xn_cdt = xn_ref[:].astype(cdt)
 
     def dw_half_cm(w1h, wdTh, b1c=None, bdc=None):
         return _cm_chain(xn_cdt, w1h, wdTh, h1t_ref, cml_l, cmr_l,
                          w=w, sw=sw, n=n, e_dim=e_dim, interpret=interpret,
-                         b1_col=b1c, bd_col=bdc, f0=f0, fl=fl)
+                         b1_col=b1c, bd_col=bdc, f0=f0, fl=fl, xn_t=ln_t)
 
     if mode == "linear":
         out_ref[0] = _cm_to_rows(dw_half_cm(w1_a, wdT_a, b1_a, bd_a)
@@ -1806,12 +1864,13 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     grid = (b, h // s_rows)
     pair_4d_flags = tuple(e.ndim == 5 for e in x2_entries
                           for _ in range(e.shape[1] if e.ndim == 5 else 1))
+    ln_t = chan_major and _LN_T
     if chan_major:
         kernel = functools.partial(
             _dw_gate_cm_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows,
             w_img=w, e_dim=e_dim, residual=residual,
             n_pair=n_pair, pair_4d=pair_4d_flags, has_po=po_ws is not None,
-            has_b1=has_b1, interpret=interpret)
+            has_b1=has_b1, ln_t=ln_t, interpret=interpret)
     else:
         kernel = functools.partial(
             _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
@@ -1833,7 +1892,11 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
                                     0),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [xf, xf, xf, *ln_args]
+    # transposed-LN kernels take ln_w/ln_b as (c, 1) columns (the in-kernel
+    # (1,c)->(c,1) transpose is a hang trigger; host reshape is free)
+    ln_in = ((ln_args[0].reshape(c, 1), ln_args[1].reshape(c, 1))
+             if ln_t else ln_args)
+    inputs = [xf, xf, xf, *ln_in]
     in_specs = list(halo_specs) + [vmem(), vmem()]
     pair_4d = []
     for x2j, frame in x2_flat:
@@ -1888,7 +1951,8 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, out_c), dt),
         scratch_shapes=[
-            pltpu.VMEM((n, c), jnp.float32),      # LN(x) with halo rows
+            # LN(x) with halo rows; transposed-LN keeps it as (c, n)
+            pltpu.VMEM((c, n) if ln_t else (n, c), jnp.float32),
             # pw1 hidden (rollable); channels-major keeps it transposed
             pltpu.VMEM((e_dim, n) if chan_major else (n, e_dim),
                        jnp.float32),
