@@ -189,6 +189,37 @@ def _ln_t_f32(xT, ln_w, ln_b, ln_mode):
     return (xT - mu) * inv * g + ln_b[:].astype(jnp.float32)
 
 
+def _fill_ln_scratch(xn_ref, x_top, x_mid, x_bot, ln_w, ln_b, ln_mode, *,
+                     w, sw, n, f0, fl, ln_t, cdt, interpret):
+    """Write the LN'd halo/main/halo blocks into the scratch: pixels-major
+    (n, c), or TRANSPOSED (c, n) with sublane LN reduces when ln_t (all
+    lane slice offsets 0 / w / w+sw are 128-multiples by the ln_t gate)."""
+    if ln_t:
+        idm = _ident2(x_mid.shape[-1], cdt)
+
+        def tf(xp):
+            return _ln_t_f32(_t_cols(xp, idm, interpret), ln_w, ln_b,
+                             ln_mode)
+
+        xn_ref[:, 0:w] = tf(x_top)
+        xn_ref[:, w:w + sw] = tf(x_mid)
+        xn_ref[:, w + sw:n] = tf(x_bot)
+        xn_ref[:, 0:w] = xn_ref[:, 0:w] * (1.0 - f0)
+        xn_ref[:, w + sw:n] = xn_ref[:, w + sw:n] * (1.0 - fl)
+    else:
+        xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
+        xn_ref[w:w + sw, :] = _ln_2d_f32(x_mid, ln_w, ln_b, ln_mode)
+        xn_ref[w + sw:n, :] = _ln_2d_f32(x_bot, ln_w, ln_b, ln_mode)
+        xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
+        xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+
+
+def _ln_t_ok(w: int) -> bool:
+    """ln_t legality: the (c, n) scratch's lane slices at 0 / w / w+sw
+    must be 128-multiples (same class of constraint as channels-major)."""
+    return _LN_T and w % 128 == 0
+
+
 def _col_wrap_masks(n: int, w: int):
     """In-kernel column-wrap masks, fp32 (n, 1): cml zeroes rows at col 0
     (where the +1-shift roll wraps in the previous row's last pixel), cmr
@@ -217,7 +248,7 @@ def _border_masks(sw: int, w: int):
 
 def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
                e_dim, has_b1, residual, n_pair, pair_4d=(), has_po=False,
-               ffw2_ln_mode=None):
+               ffw2_ln_mode=None, ln_t=False, interpret=False):
     """Strip program: S image rows per step + one halo row each side (the
     halo rows arrive as separate clamped row blocks).
 
@@ -296,23 +327,22 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
         x_bot = pair_sum(xb, 2)
     else:
         x_top, x_mid, x_bot = xa[0], xm[0], xb[0]
-    xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
-    xn_ref[w:w + sw, :] = _ln_2d_f32(x_mid, ln_w, ln_b, ln_mode)
-    xn_ref[w + sw:n, :] = _ln_2d_f32(x_bot, ln_w, ln_b, ln_mode)
+    cdt = xm.dtype
     # clamped halo rows at the image border must act zero-padded
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
-    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
-    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+    _fill_ln_scratch(xn_ref, x_top, x_mid, x_bot, ln_w, ln_b, ln_mode,
+                     w=w, sw=sw, n=n, f0=f0, fl=fl, ln_t=ln_t, cdt=cdt,
+                     interpret=interpret)
 
-    cdt = xm.dtype
     xn_cdt = xn_ref[:].astype(cdt)
 
     def dw_half(w1h, wd9h, sv):
         # pw1 ONCE on the MXU (bias excluded so the zeroed halos stay
         # zero), 9 multiply-add taps on the VPU — shared _tm_chain
         return _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x,
-                         w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl)
+                         w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl,
+                         xn_t=ln_t, interpret=interpret)
 
     if mode == "linear":
         # projection-only: out = dw3x3(pw1(LN(x))) — the qkv/kv/v front of
@@ -335,8 +365,16 @@ def _dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows, w_img,
         # so no extra halo. y is cast through the model dtype exactly as
         # the two-kernel version round-tripped it via HBM (bitwise parity)
         y = out.astype(out_ref.dtype)
-        yn = _ln_2d_f32(y, f2_lnw, f2_lnb, ffw2_ln_mode).astype(cdt)
-        hd = jnp.dot(yn, w4[:], preferred_element_type=jnp.float32)
+        if ln_t:
+            # LN2 transposed too: y is (sw, c) in registers; one identity
+            # contraction, sublane reduces, then contract dim 0 of both
+            ynT = _ln_t_f32(_t_cols(y, _ident2(y.shape[-1], cdt),
+                                    interpret),
+                            f2_lnw, f2_lnb, ffw2_ln_mode).astype(cdt)
+            hd = _dg_f32(ynT, w4[:], ((0,), (0,)), interpret)
+        else:
+            yn = _ln_2d_f32(y, f2_lnw, f2_lnb, ffw2_ln_mode).astype(cdt)
+            hd = jnp.dot(yn, w4[:], preferred_element_type=jnp.float32)
         hd = hd + b4[:].astype(jnp.float32)
         o2 = jnp.dot(_gelu_exact(hd).astype(cdt), w5[:],
                      preferred_element_type=jnp.float32)
@@ -502,7 +540,8 @@ def _proj_tap_args(p, wd9, e_dim, has_b1, zeros):
 
 
 def _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x, *, w, sw, n, e_dim,
-              sv=None, f0=None, fl=None, mt_mb=None):
+              sv=None, f0=None, fl=None, mt_mb=None, xn_t=False,
+              interpret=False):
     """TOKEN-MAJOR pw1 + dw3x3 tap chain (the pixels-major twin of
     _cm_chain, shared by every fused kernel): ONE pw1 MXU matmul into the
     (n, e) fp32 hidden scratch, then the depthwise 3x3 as 9 multiply-add
@@ -510,7 +549,13 @@ def _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x, *, w, sw, n, e_dim,
     sublane rolls masked at the row wrap. wd9h: (9, e) fp32 tap-weight
     ref. Returns the fp32 (sw, e) accumulator (bias boundary corrections
     included when sv is given)."""
-    h1_ref[:] = jnp.dot(xn_cdt, w1h[:], preferred_element_type=jnp.float32)
+    if xn_t:
+        # transposed LN scratch (c, n): contract the channel dim of both
+        # operands — the hidden still lands (n, e), no layout change below
+        h1_ref[:] = _dg_f32(xn_cdt, w1h[:], ((0,), (0,)), interpret)
+    else:
+        h1_ref[:] = jnp.dot(xn_cdt, w1h[:],
+                            preferred_element_type=jnp.float32)
     if _ABLATE == "notaps":  # debug cost attribution only
         return h1_ref[w:w + sw, :] * wd9h[4].astype(jnp.float32)
     acc = jnp.zeros((sw, e_dim), jnp.float32)
@@ -643,25 +688,9 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
     cdt = xm.dtype
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
-    if ln_t:
-        # transposed scratch (c, n): the LN reduces ride sublanes (see
-        # _ln_t_f32); lane slices at 0 / w / w+sw are 128-multiples by
-        # the chan-major w % 128 gate. ln_w/ln_b arrive as (c, 1).
-        idm = _ident2(xm.shape[-1], cdt)
-        xn_ref[:, 0:w] = _ln_t_f32(_t_cols(x_top, idm, interpret),
-                                   ln_w, ln_b, ln_mode)
-        xn_ref[:, w:w + sw] = _ln_t_f32(_t_cols(x_mid, idm, interpret),
-                                        ln_w, ln_b, ln_mode)
-        xn_ref[:, w + sw:n] = _ln_t_f32(_t_cols(x_bot, idm, interpret),
-                                        ln_w, ln_b, ln_mode)
-        xn_ref[:, 0:w] = xn_ref[:, 0:w] * (1.0 - f0)
-        xn_ref[:, w + sw:n] = xn_ref[:, w + sw:n] * (1.0 - fl)
-    else:
-        xn_ref[0:w, :] = _ln_2d_f32(x_top, ln_w, ln_b, ln_mode)
-        xn_ref[w:w + sw, :] = _ln_2d_f32(x_mid, ln_w, ln_b, ln_mode)
-        xn_ref[w + sw:n, :] = _ln_2d_f32(x_bot, ln_w, ln_b, ln_mode)
-        xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
-        xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
+    _fill_ln_scratch(xn_ref, x_top, x_mid, x_bot, ln_w, ln_b, ln_mode,
+                     w=w, sw=sw, n=n, f0=f0, fl=fl, ln_t=ln_t, cdt=cdt,
+                     interpret=interpret)
 
     xn_cdt = xn_ref[:].astype(cdt)
 
@@ -688,7 +717,7 @@ def _dw_gate_cm_kernel(xa, xm, xb, ln_w, ln_b, *rest, mode, ln_mode, s_rows,
 
 
 def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
-                     w_img, e_dim, has_b1, chan_major=False,
+                     w_img, e_dim, has_b1, chan_major=False, ln_t=False,
                      interpret=False):
     """Multi-output strip program: ONE LN pass over the strip, then N
     independent pw1 + depthwise-3x3 projection chains, each written to its
@@ -722,15 +751,13 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
     w = w_img
     sw = s_rows * w
     n = sw + 2 * w
-    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
-    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
-    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
-    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
-    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
-
     cdt = xm.dtype
+    _fill_ln_scratch(xn_ref, xa[0], xm[0], xb[0], ln_w, ln_b, ln_mode,
+                     w=w, sw=sw, n=n, f0=f0, fl=fl, ln_t=ln_t, cdt=cdt,
+                     interpret=interpret)
+
     xn_cdt = xn_ref[:].astype(cdt)
 
     if chan_major:
@@ -738,19 +765,21 @@ def _multi_dw_kernel(xa, xm, xb, ln_w, ln_b, *rest, n_out, ln_mode, s_rows,
         for (w1h, wdTh, _), out_ref in zip(projs, out_refs):
             acc = _cm_chain(xn_cdt, w1h, wdTh, h1_ref, cml_l, cmr_l,
                             w=w, sw=sw, n=n, e_dim=e_dim,
-                            interpret=interpret)
+                            interpret=interpret, xn_t=ln_t)
             out_ref[0] = _cm_to_rows(acc).astype(out_ref.dtype)
         return
 
     cml_x, cmr_x = _col_wrap_masks(n, w)
     for (w1h, wd9h, sv), out_ref in zip(projs, out_refs):
         acc = _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x,
-                        w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl)
+                        w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl,
+                        xn_t=ln_t, interpret=interpret)
         out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
-                      e_dim, has_b1, chan_major=False, interpret=False):
+                      e_dim, has_b1, chan_major=False, ln_t=False,
+                      interpret=False):
     """Channel-attention front: the q/k/v projection chains of one block,
     but q and k NEVER leave VMEM — the kernel writes only the v map plus
     the fp32 statistics channel attention actually needs (turtle_arch.py
@@ -790,15 +819,13 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
     sw = s_rows * w
     n = sw + 2 * w
 
-    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
-    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
-    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
-    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
-    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
-
     cdt = xm.dtype
+    _fill_ln_scratch(xn_ref, xa[0], xm[0], xb[0], ln_w, ln_b, ln_mode,
+                     w=w, sw=sw, n=n, f0=f0, fl=fl, ln_t=ln_t, cdt=cdt,
+                     interpret=interpret)
+
     xn_cdt = xn_ref[:].astype(cdt)
 
     if chan_major:
@@ -808,7 +835,7 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
         cml_l, cmr_l = _col_wrap_masks_lane(n, w)
         ch = lambda p: _cm_chain(xn_cdt, p[0], p[1], h1_ref,  # noqa: E731
                                  cml_l, cmr_l, w=w, sw=sw, n=n, e_dim=e_dim,
-                                 interpret=interpret)
+                                 interpret=interpret, xn_t=ln_t)
         qT = ch(projs[0]).astype(cdt)
         kT = ch(projs[1]).astype(cdt)
         v_ref[0] = _cm_to_rows(ch(projs[2])).astype(v_ref.dtype)
@@ -828,7 +855,8 @@ def _qkv_stats_kernel(xa, xm, xb, ln_w, ln_b, *rest, ln_mode, s_rows, w_img,
 
     def chain(w1h, wd9h, sv):
         return _tm_chain(xn_cdt, w1h, wd9h, h1_ref, cml_x, cmr_x,
-                         w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl)
+                         w=w, sw=sw, n=n, e_dim=e_dim, sv=sv, f0=f0, fl=fl,
+                         xn_t=ln_t, interpret=interpret)
 
     # cast to the model dtype first: the gram must see exactly the values
     # the written q/k maps would have held (pallas == xla parity)
@@ -912,9 +940,12 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
 
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
+    ln_t = _ln_t_ok(w)
+    if ln_t:
+        ln_args = (ln_args[0].reshape(c, 1), ln_args[1].reshape(c, 1))
     kernel = functools.partial(
         _qkv_stats_kernel, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
-        e_dim=e_dim, has_b1=has_b1, chan_major=chan_major,
+        e_dim=e_dim, has_b1=has_b1, chan_major=chan_major, ln_t=ln_t,
         interpret=interpret)
     last_row = h - 1
     s_ = s_rows
@@ -947,7 +978,7 @@ def fused_qkv_stats(x, projs, *, ln_w=None, ln_b=None,
             jax.ShapeDtypeStruct((b, 8, 2 * e_dim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((c, n) if ln_t else (n, c), jnp.float32),
             pltpu.VMEM((e_dim, n) if chan_major else (n, e_dim),
                        jnp.float32),
         ],
@@ -1650,10 +1681,13 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
 
     vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)  # noqa: E731
     grid = (b, h // s_rows)
+    ln_t = _ln_t_ok(w)
+    if ln_t:
+        ln_args = (ln_args[0].reshape(c, 1), ln_args[1].reshape(c, 1))
     kernel = functools.partial(
         _multi_dw_kernel, n_out=n_out, ln_mode=ln_mode, s_rows=s_rows,
         w_img=w, e_dim=e_dim, has_b1=has_b1, chan_major=chan_major,
-        interpret=interpret)
+        ln_t=ln_t, interpret=interpret)
     last_row = h - 1
     s_ = s_rows
     xf = x.reshape(b, h * w, c)
@@ -1677,7 +1711,7 @@ def fused_ln_split_proj(x, projs, *, ln_w=None, ln_b=None,
         out_shape=tuple(jax.ShapeDtypeStruct((b, h * w, e_dim), dt)
                         for _ in range(n_out)),
         scratch_shapes=[
-            pltpu.VMEM((n, c), jnp.float32),
+            pltpu.VMEM((c, n) if ln_t else (n, c), jnp.float32),
             pltpu.VMEM((e_dim, n) if chan_major else (n, e_dim),
                        jnp.float32),
         ],
@@ -1856,15 +1890,20 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
     w2a = w2 if w2 is not None else zeros((1, out_c))
     args += [w2a, b2a, sc]
     if ffw2 is not None:
-        args += [ffw2["ln_w"],
-                 ffw2["ln_b"] if ffw2.get("ln_b") is not None else zeros((c,)),
+        f2_lnw = ffw2["ln_w"]
+        f2_lnb = (ffw2["ln_b"] if ffw2.get("ln_b") is not None
+                  else zeros((c,)))
+        if _ln_t_ok(w):
+            # the transposed LN2 consumes (c, 1) columns (_ln_t_f32)
+            f2_lnw, f2_lnb = f2_lnw.reshape(c, 1), f2_lnb.reshape(c, 1)
+        args += [f2_lnw, f2_lnb,
                  ffw2["w1"], ffw2["b1"], ffw2["w2"], ffw2["b2"],
                  ffw2["scale"]]
 
     grid = (b, h // s_rows)
     pair_4d_flags = tuple(e.ndim == 5 for e in x2_entries
                           for _ in range(e.shape[1] if e.ndim == 5 else 1))
-    ln_t = chan_major and _LN_T
+    ln_t = _ln_t_ok(w)
     if chan_major:
         kernel = functools.partial(
             _dw_gate_cm_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows,
@@ -1876,7 +1915,7 @@ def fused_block_ffn(x, *, x2=None, po_w=None, po_b=None, ln_w=None,
             _dw_kernel, mode=mode, ln_mode=ln_mode, s_rows=s_rows, w_img=w,
             e_dim=e_dim, has_b1=has_b1, residual=residual,
             n_pair=n_pair, pair_4d=pair_4d_flags, has_po=po_ws is not None,
-            ffw2_ln_mode=ffw2_ln_mode)
+            ffw2_ln_mode=ffw2_ln_mode, ln_t=ln_t, interpret=interpret)
     last_row = h - 1
     s_ = s_rows
     halo_specs = [
