@@ -51,13 +51,17 @@ def _pad(v, m):
 
 class Rates:
     def __init__(self, probe):
-        # Gelem/s -> elem/s
+        # Gelem/s -> elem/s. The bundle rates (taps9 / gelu / ln_*) are
+        # measured on the kernels' OWN fused expressions (vpu_probe.py),
+        # so the ledger counts bundle PASSES, matching how Mosaic
+        # schedules the arithmetic (per-primitive element counting
+        # overcounted ~3x: an 8 MB carry can't stay in registers, so
+        # serial per-primitive probes measure VMEM-pass cost).
         self.fma = probe["fma"]["elem_per_sec"] * 1e9
-        self.erf = probe["erf"]["elem_per_sec"] * 1e9
-        self.roll = probe["roll"]["elem_per_sec"] * 1e9
-        self.lane_red = probe["lane_red"]["elem_per_sec"] * 1e9
-        self.sub_red = probe["sub_red"]["elem_per_sec"] * 1e9
-        self.mask = probe["mask_mul"]["elem_per_sec"] * 1e9
+        self.taps9 = probe["taps9"]["elem_per_sec"] * 1e9
+        self.gelu = probe["gelu"]["elem_per_sec"] * 1e9
+        self.ln_lane = probe["ln_lane"]["elem_per_sec"] * 1e9
+        self.ln_sub = probe["ln_sub"]["elem_per_sec"] * 1e9
         # MXU: measured large-matmul peak = 137 TF/s = 68.5e12 MAC/s on
         # full 128x128 slots; padded slots run at the same slot rate
         self.mxu_slot_macs = 137.0e12 / 2.0
@@ -71,33 +75,24 @@ def _hidden_elems(e, n_cols, chan_major):
 
 
 def _ln_ms(rows, c, ln_t, R):
-    """One LN pass over `rows` pixels of c channels (reduces+normalize)."""
-    if ln_t:
-        # sublane reduces on (c, rows): 2 reduces + ~4 normalize passes
-        red = 2.0 * rows * c / R.sub_red
-        norm = 4.0 * _pad(c, 8) * _pad(rows, 128) / R.fma
-        # the transpose itself is MXU (counted by caller)
-        return red + norm
-    red = 2.0 * rows * c / R.lane_red
-    norm = 4.0 * _pad(rows, 8) * _pad(c, 128) / R.fma
-    return red + norm
+    """One LN pass over `rows` pixels of c channels — the probes time the
+    REAL _ln_2d_f32 / _ln_t_f32 at c=64, rates are per normalised
+    element (the transpose's MXU part is counted by the caller)."""
+    return rows * c / (R.ln_sub if ln_t else R.ln_lane)
 
 
 def _dw_chain_ms(n_rows, sw, e, chan_major, R, halves=1):
-    """pw1(+taps) VPU cost of `halves` dw3x3 chains over an n_rows strip
-    buffer (hidden already in VMEM; the pw1 MXU part is counted by the
-    caller). 9 MAC taps + 2 rolls + 2 masks per half."""
+    """Tap cost of `halves` dw3x3 chains over an n_rows strip buffer: one
+    taps9 BUNDLE pass (3 rolled+masked bases, 9 broadcast FMAs — the
+    kernels' own fused expression) per halo'd hidden element; pw1 MXU is
+    counted by the caller."""
     he_n = _hidden_elems(e, n_rows, chan_major)     # full halo'd hidden
-    he_s = _hidden_elems(e, sw, chan_major)         # output-rows hidden
-    taps = 9.0 * he_s / R.fma
-    rolls = 2.0 * he_n / R.roll
-    masks = 2.0 * he_n / R.mask
-    return halves * (taps + rolls + masks)
+    return halves * he_n / R.taps9
 
 
 def _gelu_ms(elems, R):
-    # 0.5*v*(1+erf(v/sqrt2)): erf poly + ~3 fma-class ops
-    return elems / R.erf + 3.0 * elems / R.fma
+    # one pass of the kernels' own _gelu_exact (probe op "gelu")
+    return elems / R.gelu
 
 
 def _mxu_ms(n_pix, k, m_out, R):
@@ -126,14 +121,22 @@ def ledger(opt_path, h0, w0, probe_path):
     sites = {k: {"ms": 0.0, "calls": 0, "detail": {}}
              for k in ("gate", "chained", "qkv", "chm", "ffw")}
 
-    def add(site, ms_parts, lvl_name, count=1):
+    def add(site, sec_parts, lvl_name, count=1):
+        # the kernels PIPELINE vector work against MXU+DMA across grid
+        # steps (measured r4: the split pipelined kernels beat both
+        # fusion megakernels for exactly this reason), so the structural
+        # bound per call is max(vpu, mxu), not their sum
         s = sites[site]
-        s["ms"] += sum(ms_parts.values()) * count
+        vpu = sum(v for k, v in sec_parts.items() if k != "mxu")
+        mxu = sec_parts.get("mxu", 0.0)
+        s["ms"] += max(vpu, mxu) * count * 1e3
+        s["vpu_ms"] = s.get("vpu_ms", 0.0) + vpu * count * 1e3
+        s["mxu_ms"] = s.get("mxu_ms", 0.0) + mxu * count * 1e3
         s["calls"] += count
         d = s["detail"].setdefault(lvl_name, {"calls": 0})
         d["calls"] += count
-        for k, v in ms_parts.items():
-            d[k] = round(d.get(k, 0.0) + v * count, 3)
+        for k, v in sec_parts.items():
+            d[k] = round(d.get(k, 0.0) + v * count * 1e3, 3)
 
     for name, lvl, div in levels:
         h, w, c = hp // div, wp // div, lvl.dim
@@ -270,30 +273,39 @@ def main():
         with open(args.measured) as f:
             measured = json.load(f)
 
-    print(f"{'site':<8} {'struct ms':>10} {'measured':>9} {'ratio':>6}")
+    print(f"{'site':<8} {'struct':>8} {'vpu':>8} {'mxu':>7} "
+          f"{'measured':>9} {'ratio':>6}")
     tot_s = tot_m = 0.0
     for k, s in out["sites"].items():
         m = measured.get(k)
         ratio = (m / s["ms"]) if (m and s["ms"]) else None
         s["structural_ms"] = round(s.pop("ms"), 2)
+        s["vpu_ms"] = round(s.get("vpu_ms", 0.0), 2)
+        s["mxu_ms"] = round(s.get("mxu_ms", 0.0), 2)
         if m is not None:
             s["measured_ms"] = m
             s["measured_over_structural"] = round(ratio, 2)
-        print(f"{k:<8} {s['structural_ms']:>10.2f} "
+        print(f"{k:<8} {s['structural_ms']:>8.2f} {s['vpu_ms']:>8.2f} "
+              f"{s['mxu_ms']:>7.2f} "
               f"{(m if m is not None else float('nan')):>9} "
               f"{(f'{ratio:.2f}' if ratio else '-'):>6}")
         tot_s += s["structural_ms"]
         tot_m += m or 0.0
-    print(f"{'TOTAL':<8} {tot_s:>10.2f} {tot_m:>9.1f}")
+    print(f"{'TOTAL':<8} {tot_s:>8.2f} {'':>8} {'':>7} {tot_m:>9.1f}")
     out["total_structural_ms"] = round(tot_s, 2)
     if measured:
         out["total_measured_ms"] = round(tot_m, 2)
-    out["note"] = ("structural = padded elements x vector passes / "
-                   "measured primitive rates (VPU_PROBE.json) + padded "
-                   "MXU slot-MACs at the 137 TF/s measured peak; "
-                   "measured-over-structural ~1 means the kernel runs at "
-                   "the speed its arithmetic dictates and only algorithmic "
-                   "change (not schedule tuning) can cut it further")
+    out["note"] = ("structural = per call max(vpu, mxu): vpu from padded "
+                   "elements x fused-bundle passes / the rates MEASURED "
+                   "on this chip by tools/vpu_probe.py (serial-chain "
+                   "bundle passes — an upper bound on the arithmetic's "
+                   "cost, real kernels gain some further ILP); mxu in "
+                   "padded 128x128 slot-MACs at the 137 TF/s measured "
+                   "peak. measured_over_structural <= 1 means the site "
+                   "already runs at or below the cost of its own "
+                   "arithmetic at probe rates — no scheduling headroom; "
+                   "only removing WORK (algorithmic change) cuts it "
+                   "further. >> 1 would mean schedule/overlap loss.")
 
     import subprocess
     import time as _t

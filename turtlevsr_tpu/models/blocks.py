@@ -38,6 +38,18 @@ from turtlevsr_tpu.ops.attn_utils import (
 from turtlevsr_tpu.ops.conv import conv_init
 from turtlevsr_tpu.ops.norm import layer_norm, layer_norm_init
 
+# debug instrument (tools/sab_sparsity.py): when set to a list, every SAB
+# attention-probability tensor computed on the XLA path is streamed to it
+# via jax.debug.callback as (probs, grid_wq). Measurement-only.
+_SAB_PROBS_TAP = None
+
+
+def _sab_probs_sink(a, wq):
+    if _SAB_PROBS_TAP is not None:
+        import numpy as _np
+
+        _SAB_PROBS_TAP.append((_np.asarray(a), int(wq)))
+
 
 @dataclass(frozen=True)
 class BlockSpec:
@@ -624,6 +636,12 @@ def sab_t1_apply(params, x, ws: int, slot: Optional[dict], ln=None,
         attn1 = topk_keep(attn, 5)
         attn2 = attn * lm[None, None]
         a = clipped_softmax(attn1 + attn2)  # (B, NF, HW, HW)
+
+    if _SAB_PROBS_TAP is not None:
+        # debug instrument (tools/sab_sparsity.py): stream the attention
+        # probabilities to the host collector; measurement-only, never set
+        # in production
+        jax.debug.callback(_sab_probs_sink, a, wq)
 
     if take_pf:
         # per-frame @v: one dot per frame over the zero-copy ring slice;
