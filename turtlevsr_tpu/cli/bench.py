@@ -90,6 +90,100 @@ def bench_train_step(args, opt, cfg, dtype):
     }))
 
 
+def bench_numerics_tiled(args, opt, cfg, dtype):
+    """Deployment-precision numerics at the reference's OWN eval geometry
+    (tile 320 / overlap 192, inference.py:172-246): the tiled engine path
+    gates kernels differently at 320^2 than whole-frame (r4 VERDICT weak
+    #4), so the whole-frame NUMERICS line doesn't bound it. Streams a
+    short clip through TWO engines — bf16+pallas (shipped) vs fp32+xla
+    (reference-path numerics) — over the SAME tile grid and per-tile
+    caches, and records per-frame PSNR between the two outputs."""
+    import dataclasses as _dc
+    import json
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from turtlevsr_tpu.eval.engine import InferenceEngine
+    from turtlevsr_tpu.models.turtle import init_params
+
+    h, w = args.size
+    tile, overlap = args.numerics_tile, args.numerics_overlap
+    n_frames = 3
+    params32 = init_params(jax.random.PRNGKey(0), cfg)
+    eng_x = InferenceEngine(_dc.replace(cfg, kernels="xla"), params32,
+                            mode="tiled", tile=tile, tile_overlap=overlap,
+                            dtype=jnp.float32)
+    eng_p = InferenceEngine(_dc.replace(cfg, kernels="pallas"), params32,
+                            mode="tiled", tile=tile, tile_overlap=overlap,
+                            dtype=jnp.bfloat16)
+
+    rng = np.random.RandomState(0)
+    psnrs = []
+    for t in range(n_frames):
+        fr = rng.rand(h, w, 3).astype(np.float32)
+        ox = np.asarray(eng_x.step(fr), np.float64)
+        op = np.asarray(eng_p.step(fr), np.float64)
+        mse = float(np.mean((ox - op) ** 2))
+        psnrs.append(round(10 * np.log10(1.0 / max(mse, 1e-30)), 2))
+        print(f"frame {t}: tiled PSNR(bf16+pallas vs fp32+xla) = "
+              f"{psnrs[-1]} dB", flush=True)
+
+    art = {
+        "metric": f"psnr_bf16_pallas_vs_fp32_xla_tiled{tile}",
+        "per_frame_db": psnrs,
+        "min_db": min(psnrs),
+        "size": [h, w],
+        "tile": tile, "overlap": overlap,
+        "opt": os.path.basename(args.opt),
+        "note": "reference tiled eval geometry, same tile grid and "
+                "per-tile caches through both paths; synthetic random "
+                "frames (worst-case high-frequency input, and random-init "
+                "weights — trained weights saturate softmaxes "
+                "differently, a caveat the environment cannot lift: no "
+                "published checkpoints are mounted)",
+    }
+    _finish_numerics_artifact(args, art)
+
+
+def _finish_numerics_artifact(args, art):
+    import json
+    import os
+
+    env_overrides = _env_overrides()
+    if env_overrides:
+        art["env_overrides"] = env_overrides
+    import subprocess
+    import time as _time
+    try:
+        art["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        pass
+    art["date"] = _time.strftime("%Y-%m-%d")
+
+    def _key(e):
+        return (e.get("opt", "?"), tuple(e.get("size", ())),
+                e.get("metric", "?"))
+
+    try:
+        with open(args.numerics_json) as f:
+            old = json.load(f)
+        entries = old if isinstance(old, list) else [old]
+    except Exception:
+        entries = []
+    merged = {_key(e): e for e in entries}
+    merged[_key(art)] = art
+    with open(args.numerics_json, "w") as f:
+        json.dump(list(merged.values()), f, indent=1)
+    print(json.dumps({"metric": art["metric"], "opt": art["opt"],
+                      "value": art["min_db"], "unit": "dB"}))
+
+
 def bench_numerics(args, opt, cfg, dtype):
     """Deployment-precision numerics artifact: one synthetic 720p clip
     through the SHIPPED pipeline (bf16 activations + pallas kernels) vs the
@@ -147,41 +241,12 @@ def bench_numerics(args, opt, cfg, dtype):
                 "PSNR of the shipped bf16+pallas pipeline against the fp32 "
                 "XLA reference path, streaming cache threaded through both",
     }
-    env_overrides = _env_overrides()
-    if env_overrides:
-        art["env_overrides"] = env_overrides
-    import subprocess
-    import time as _time
-    try:
-        art["commit"] = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            capture_output=True, text=True, timeout=10).stdout.strip()
-    except Exception:
-        pass
-    art["date"] = _time.strftime("%Y-%m-%d")
-    # one line per (option file, geometry) — merge into a list artifact.
+    # one line per (option file, geometry) — merged into a list artifact.
     # NOTE the artifact is a LIST of per-config entries since r4 (the r3
     # schema was a single object); the merge keys on opt+size+metric so
     # same-basename opts at different geometries don't clobber each other
     # (ADVICE r4).
-    def _key(e):
-        return (e.get("opt", "?"), tuple(e.get("size", ())),
-                e.get("metric", "?"))
-
-    try:
-        with open(args.numerics_json) as f:
-            old = json.load(f)
-        entries = old if isinstance(old, list) else [old]
-    except Exception:
-        entries = []
-    merged = {_key(e): e for e in entries}
-    merged[_key(art)] = art
-    with open(args.numerics_json, "w") as f:
-        json.dump(list(merged.values()), f, indent=1)
-    print(json.dumps({"metric": art["metric"], "opt": art["opt"],
-                      "value": art["min_db"], "unit": "dB"}))
+    _finish_numerics_artifact(args, art)
 
 
 def main():
@@ -209,6 +274,12 @@ def main():
     p.add_argument("--trace_dir", default=None,
                    help="write a jax.profiler trace of the timed inference "
                         "iters (view in TensorBoard/Perfetto)")
+    p.add_argument("--numerics_tile", type=int, default=0,
+                   help="with --numerics_overlap: write the TILED-geometry "
+                        "numerics line (the reference's own eval protocol) "
+                        "instead of whole-frame — e.g. --numerics_tile 320 "
+                        "--numerics_overlap 192")
+    p.add_argument("--numerics_overlap", type=int, default=192)
     p.add_argument("--numerics_json", default="NUMERICS.json",
                    help="output path for the --numerics artifact "
                         "(default: ./NUMERICS.json in the working dir)")
@@ -234,12 +305,14 @@ def main():
 
     if args.train_step:
         return bench_train_step(args, opt, cfg, dtype)
-    if args.numerics:
+    if args.numerics or args.numerics_tile:
         # the numerics artifact is DEFINED as shipped-bf16+pallas vs
         # fp32+xla; honoring other flags would mislabel it
         if args.kernels != "pallas" or args.dtype != "bfloat16":
             p.error("--numerics always compares bf16+pallas vs fp32+xla; "
                     "--kernels/--dtype have no effect in this mode")
+        if args.numerics_tile:
+            return bench_numerics_tiled(args, opt, cfg, dtype)
         return bench_numerics(args, opt, cfg, dtype)
 
     params = jax.tree.map(lambda a: a.astype(dtype),
