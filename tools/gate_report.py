@@ -104,7 +104,10 @@ def main():
         cm = F._chan_major_ok(hid, w, False)
         print(f"         chan-major GFFW hidden: "
               f"{'ON' if cm and lvl.ffw_type == 'GFFW' else 'off'} "
-              f"(e={hid}, w%128={w % 128})")
+              f"(e={hid}, w%128={w % 128})"
+              + (" [roll taps]" if cm and w % 128 else ""))
+        print(f"         transposed (sublane) LN: "
+              f"{'ON' if F._ln_t_ok(w) else 'off (w%128!=0)'}")
 
     # U-Net glue convs
     d1, d2, d3, d4 = cfg.level_dims
