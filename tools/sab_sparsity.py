@@ -131,7 +131,34 @@ def main():
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--params", default="/tmp/turtle_smoke_params.npz")
     ap.add_argument("--json", default="SAB_SPARSITY.json")
+    ap.add_argument("--only", choices=["both", "random", "trained"],
+                    default="both",
+                    help="run one pass and print its stats as JSON (used "
+                         "internally: a second in-process pass wedges on "
+                         "the debug-callback/jit interaction, so 'both' "
+                         "runs each pass in its own subprocess)")
     args = ap.parse_args()
+
+    if args.only == "both":
+        import subprocess
+
+        stats = {}
+        for which in ("random", "trained"):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--opt", args.opt, "--size", str(args.size[0]),
+                 str(args.size[1]), "--frames", str(args.frames),
+                 "--params", args.params, "--json", args.json,
+                 "--only", which],
+                capture_output=True, text=True, timeout=7200)
+            for line in r.stdout.splitlines():
+                if line.startswith("STATS "):
+                    stats[which] = json.loads(line[6:])
+            print(which, json.dumps(stats.get(which)), flush=True)
+            if which == "random" and "random" not in stats:
+                sys.exit(f"random pass failed:\n{r.stdout}\n{r.stderr}")
+        _write_artifact(args, stats.get("random"), stats.get("trained"))
+        return
 
     import jax
 
@@ -150,19 +177,18 @@ def main():
     frames = synth_stream(rng, args.frames, *args.size)
 
     params0 = init_params(jax.random.PRNGKey(0), cfg)
-    print("random-init pass...", flush=True)
-    rand_stats = run(params0, cfg, frames, forward, init_cache)
-    print(json.dumps(rand_stats), flush=True)
+    if args.only == "trained":
+        if not os.path.exists(args.params):
+            sys.exit(f"no trained params at {args.params}")
+        params0 = load_npz_params(args.params, params0)
+    stats = run(params0, cfg, frames, forward, init_cache)
+    print("STATS " + json.dumps(stats), flush=True)
 
-    trained_stats = None
-    if os.path.exists(args.params):
-        print("trained-weights pass...", flush=True)
-        params1 = load_npz_params(args.params, params0)
-        trained_stats = run(params1, cfg, frames, forward, init_cache)
-        print(json.dumps(trained_stats), flush=True)
 
+def _write_artifact(args, rand_stats, trained_stats):
     occ_t = (trained_stats or rand_stats)["block_occupancy"]
     go = occ_t < 0.6
+    import json as _json  # noqa: F811 (function scope)
     art = {
         "metric": "sab_far_key_block_occupancy",
         "size": args.size, "frames": args.frames,

@@ -420,8 +420,13 @@ def _chan_major_ok(e_dim: int, w: int, has_b1: bool,
     only the sites (new_site=True) that landed after the 5.32 fps
     measurement; TURTLE_CM_ROLL=0 disables only the roll-tap widths —
     finer A/B isolation."""
+    # r5 whole-graph A/B: roll-tap cm is NEGATIVE at the tiled-320
+    # protocol (1.109 vs 1.147 fps) and at the 1080p e=320 shape (16.1 vs
+    # 15.5 ms isolated) despite a neutral-positive isolated probe at the
+    # tiled gate shape — 3rd instance of isolated readings inverting in
+    # context. Default OFF; TURTLE_CM_ROLL=1 re-enables for A/B.
     roll_ok = (w % 128 != 0 and w % 8 == 0
-               and _os.environ.get("TURTLE_CM_ROLL") != "0")
+               and _os.environ.get("TURTLE_CM_ROLL") == "1")
     legal = (not has_b1) and (w % 128 == 0 or roll_ok)
     force = _os.environ.get("TURTLE_CHAN_MAJOR")
     if force == "0":
@@ -1462,7 +1467,7 @@ def fused_ln_qkv_dw(x, *, ln_w=None, ln_b=None, w1, b1=None, wd, bd=None,
 
 def _conv3_kernel(xa, xm, xb, w9, bias, ln_w, ln_b, out_ref, xn_ref,
                   acc_ref, *, s_rows, w_img, cout, ln_mode,
-                  chan_major=False, interpret=False):
+                  chan_major=False, ln_t=False, interpret=False):
     """Dense 3x3 conv as 9 shifted MXU matmuls over one row strip,
     optionally preceded by channel LN (the composite v+project_out chain
     of SAB folds into this shape: po o dw3x3 o pw1x1 == one dense conv
@@ -1490,15 +1495,16 @@ def _conv3_kernel(xa, xm, xb, w9, bias, ln_w, ln_b, out_ref, xn_ref,
     n = sw + 2 * w
     cml_x, cmr_x = _col_wrap_masks(n, w)
 
-    xn_ref[0:w, :] = _ln_2d_f32(xa[0], ln_w, ln_b, ln_mode)
-    xn_ref[w:w + sw, :] = _ln_2d_f32(xm[0], ln_w, ln_b, ln_mode)
-    xn_ref[w + sw:n, :] = _ln_2d_f32(xb[0], ln_w, ln_b, ln_mode)
     f0 = (i == 0).astype(jnp.float32)
     fl = (i == last).astype(jnp.float32)
-    xn_ref[0:w, :] = xn_ref[0:w, :] * (1.0 - f0)
-    xn_ref[w + sw:n, :] = xn_ref[w + sw:n, :] * (1.0 - fl)
-
     cdt = xm.dtype
+    # ln_t (r5, chan-major only): the LN scratch lives transposed (cin, n)
+    # with sublane reduces; the tap dots contract dim 0 of both operands
+    # instead — the (Cout, n) products and everything after are unchanged
+    _fill_ln_scratch(xn_ref, xa[0], xm[0], xb[0], ln_w, ln_b, ln_mode,
+                     w=w, sw=sw, n=n, f0=f0, fl=fl, ln_t=ln_t, cdt=cdt,
+                     interpret=interpret)
+
     if chan_major:
         # wrap masks over the SLICED sw lanes: rolls happen post-slice
         # (slices are whole image rows, so the roll's wrap-around lane is
@@ -1513,7 +1519,7 @@ def _conv3_kernel(xa, xm, xb, w9, bias, ln_w, ln_b, out_ref, xn_ref,
                 # (Cpad, n) = w9[k]^T-contraction against the (n, Cin)
                 # LN scratch — no transpose op exists anywhere
                 lo = w + di * w
-                tap = _dg_f32(w9[k], xn_cdt, ((0,), (1,)),
+                tap = _dg_f32(w9[k], xn_cdt, ((0,), (0 if ln_t else 1,)),
                               interpret)[:, lo:lo + sw]
                 if dj == -1:
                     tap = pltpu.roll(tap, shift=1, axis=1) * cml_s
@@ -1599,6 +1605,11 @@ def fused_conv3x3(x, weight, bias=None, *, ln_w=None, ln_b=None,
     chan_major = (w % 128 == 0 and cout < 128 and cin >= 8
                   and force != "0"
                   and _os.environ.get("TURTLE_CHAN_MAJOR_NEW") != "0")
+    # transposed LN (r5): chan-major branch only (its tap dots consume the
+    # scratch whole); pointless without an actual LN
+    ln_t = chan_major and ln_mode != "none" and _ln_t_ok(w)
+    if ln_t:
+        ln_args = (ln_args[0].reshape(cin, 1), ln_args[1].reshape(cin, 1))
     cpad = (cout + 7) // 8 * 8
     if chan_major and cpad != cout:
         w9 = jnp.pad(w9, ((0, 0), (0, 0), (0, cpad - cout)))
@@ -1611,7 +1622,7 @@ def fused_conv3x3(x, weight, bias=None, *, ln_w=None, ln_b=None,
     out = pl.pallas_call(
         functools.partial(_conv3_kernel, s_rows=s_rows, w_img=w, cout=cout,
                           ln_mode=ln_mode, chan_major=chan_major,
-                          interpret=interpret),
+                          ln_t=ln_t, interpret=interpret),
         grid=(b, h // s_rows),
         in_specs=[
             pl.BlockSpec((1, w, cin),
@@ -1627,7 +1638,8 @@ def fused_conv3x3(x, weight, bias=None, *, ln_w=None, ln_b=None,
         out_specs=pl.BlockSpec((1, sw, cout), lambda b_, i: (b_, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h * w, cout), dt),
-        scratch_shapes=[pltpu.VMEM((n, cin), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((cin, n) if ln_t else (n, cin),
+                                   jnp.float32),
                         pltpu.VMEM((cpad, sw) if chan_major else (sw, cout),
                                    jnp.float32)],
         compiler_params=pltpu.CompilerParams(
