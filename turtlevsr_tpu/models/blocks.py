@@ -46,9 +46,11 @@ _SAB_PROBS_TAP = None
 
 def _sab_probs_sink(a, wq):
     if _SAB_PROBS_TAP is not None:
-        import numpy as _np
-
-        _SAB_PROBS_TAP.append((_np.asarray(a), int(wq)))
+        # append WITHOUT converting: np.asarray here runs on the runtime's
+        # callback thread and can deadlock against a main thread blocked in
+        # block_until_ready (observed hang, faulthandler-confirmed); the
+        # collector converts on the main thread after the step completes
+        _SAB_PROBS_TAP.append((a, int(wq)))
 
 
 @dataclass(frozen=True)
